@@ -1,0 +1,131 @@
+"""Typed configuration for the whole framework.
+
+The reference hard-codes every tunable as a C++ global annotated "TODO
+migrate to rosparams" (graph.cpp:12-16, scanner.cpp:9-11, odometry.cpp:22-23).
+This module is the real config system it lacked; defaults reproduce the
+reference constants exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Pose-graph optimizer settings (replaces gtsam LM defaults, graph.cpp:119).
+
+    `mode` selects the normal-equation solve:
+      * "dense"  — dense Cholesky of the full (D*N, D*N) Hessian; right for
+                   small graphs (Intel ~1.7k poses) where the dense matrix is
+                   tiny by TPU standards and the MXU eats it whole.
+      * "pcg"    — matrix-free block-sparse preconditioned conjugate gradient;
+                   right for large graphs (city10000+) and the multi-device path.
+      * "auto"   — dense below `dense_threshold` poses, else pcg.
+    """
+
+    mode: str = "auto"
+    dense_threshold: int = 2048
+
+    # Levenberg-Marquardt schedule (mirrors GTSAM's defaults closely enough to
+    # hit the same optima: lambda up/down factors, initial lambda).
+    max_iterations: int = 100
+    init_lambda: float = 1e-5
+    lambda_factor: float = 10.0
+    min_lambda: float = 1e-10
+    max_lambda: float = 1e7
+    # Relative decrease in chi2 below which we declare convergence.
+    rel_decrease_tol: float = 1e-6
+    abs_decrease_tol: float = 1e-9
+
+    # PCG settings.
+    cg_max_iterations: int = 250
+    cg_tol: float = 1e-8
+
+    # Robust kernel on loop-closure edges (BASELINE config 2). delta is the
+    # Huber transition point in units of whitened residual norm.
+    huber_delta: float = 1.0
+    use_huber_on_loops: bool = False
+
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Scan-matching frontend settings (replaces scanner.cpp:9-11 globals)."""
+
+    # Laser model — the reference Stage world (willow.world:8-14).
+    num_beams: int = 1081
+    fov_rad: float = 4.71716  # 270.25 deg
+    max_range: float = 30.0
+    min_range: float = 0.02
+
+    # Padded point budget: 1081 beams pad to the next lane-friendly size.
+    max_points: int = 1152
+
+    # ICP / GICP iterations (PCL GICP default is up to 200 outer iters; on TPU
+    # we run a fixed unrolled/scanned count — static shapes, no early exit).
+    icp_iterations: int = 32
+    # Correspondence gating distance (m).
+    max_correspondence_distance: float = 1.0
+    # GICP surfel regularization: covariance eigenvalues (1, epsilon) along
+    # (tangent, normal) of the locally fitted line.
+    gicp_epsilon: float = 1e-3
+    # Neighborhood half-width (beams) for local line fit.
+    normal_half_window: int = 4
+
+    # Keyframe gating. The reference creates a keyframe when GICP fitness
+    # EXCEEDS 0.1 (scanner.cpp:57) — a motion/novelty gate (quirk §3.6.3 in
+    # SURVEY.md). We keep that motion gate and add the quality gate the
+    # reference conflated with it.
+    keyframe_fitness_threshold: float = 0.1
+    # Quality gate: mean squared correspondence error must be below this for
+    # the delta to be trusted as a factor.
+    max_match_rmse: float = 0.5
+
+    # Motion-scaled diagonal covariance model constants (scanner.cpp:11,
+    # odometry.cpp:23 — intended semantics per SURVEY.md §3.6.5).
+    k_disp_disp: float = 0.1
+    k_rot_disp: float = 0.1
+    k_rot_rot: float = 0.1
+
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    """Online pipeline settings (replaces graph.cpp:12-16 globals)."""
+
+    # Preallocated capacities (the reference used unbounded std::vector and
+    # int8 ids that overflow at 127 keyframes — SURVEY.md §2.3).
+    max_keyframes: int = 1024
+    max_factors: int = 4096
+
+    # Prior noise sigma on x, y, theta (graph.cpp:13-14).
+    prior_sigma_xy: float = 0.1
+    prior_sigma_theta: float = 0.1
+
+    # Loop closure: exclude this many most-recent keyframes from candidate
+    # search (graph.cpp:15) and gate candidates by distance (the reference had
+    # no gate — SURVEY.md §3.6.6; we add one).
+    loop_closure_skip: int = 10
+    loop_closure_max_distance: float = 3.0
+
+    # Run the optimizer every K accepted keyframes (the reference's solve()
+    # was disabled entirely, graph.cpp:195; we enable it).
+    solve_every: int = 1
+    solve_iterations: int = 8
+
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for the distributed solver."""
+
+    # Axis names; factors are sharded over 'dev'. State (poses) is replicated
+    # — a 100k-pose SE(3) state is <6 MB, while factor work dominates.
+    axis: str = "dev"
+    num_devices: Optional[int] = None  # None → all visible devices

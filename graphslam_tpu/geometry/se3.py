@@ -1,0 +1,98 @@
+"""SE(3): rigid transforms stored as a dict-free flat (..., 12) array.
+
+Layout: [:9] row-major 3x3 rotation, [9:12] translation. A single flat array
+(instead of a (R, t) tuple) keeps the pose-graph state one contiguous buffer
+— friendlier to donation, sharding, and scatter updates in the online
+pipeline. Helpers `rot`/`trans` views are cheap reshapes.
+
+Tangents are (..., 6) arrays [rho (3 trans), phi (3 rot)] with the right
+retraction x * Exp(xi), matching GTSAM's Pose3 convention so its optimizer
+behavior (and test numbers) transfer.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from graphslam_tpu.geometry import so3
+
+DIM = 12  # storage dim
+TANGENT_DIM = 6
+
+
+def rot(p: jnp.ndarray) -> jnp.ndarray:
+    return p[..., :9].reshape(*p.shape[:-1], 3, 3)
+
+def trans(p: jnp.ndarray) -> jnp.ndarray:
+    return p[..., 9:12]
+
+
+def make(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([R.reshape(*R.shape[:-2], 9), t], axis=-1)
+
+
+def identity(batch_shape=(), dtype=jnp.float32) -> jnp.ndarray:
+    return make(so3.identity(batch_shape, dtype), jnp.zeros((*batch_shape, 3), dtype))
+
+
+def compose(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    Ra, ta = rot(a), trans(a)
+    Rb, tb = rot(b), trans(b)
+    return make(Ra @ Rb, (Ra @ tb[..., None])[..., 0] + ta)
+
+
+def inverse(a: jnp.ndarray) -> jnp.ndarray:
+    Ra, ta = rot(a), trans(a)
+    RaT = jnp.swapaxes(Ra, -1, -2)
+    return make(RaT, -(RaT @ ta[..., None])[..., 0])
+
+
+def between(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a^-1 * b."""
+    Ra, ta = rot(a), trans(a)
+    RaT = jnp.swapaxes(Ra, -1, -2)
+    Rb, tb = rot(b), trans(b)
+    return make(RaT @ Rb, (RaT @ (tb - ta)[..., None])[..., 0])
+
+
+def exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """se(3) -> SE(3). xi = [rho, phi]; t = J_l(phi) rho."""
+    rho, phi = xi[..., :3], xi[..., 3:6]
+    R = so3.exp(phi)
+    t = (so3.left_jacobian(phi) @ rho[..., None])[..., 0]
+    return make(R, t)
+
+
+def log(p: jnp.ndarray) -> jnp.ndarray:
+    phi = so3.log(rot(p))
+    rho = (so3.left_jacobian_inv(phi) @ trans(p)[..., None])[..., 0]
+    return jnp.concatenate([rho, phi], axis=-1)
+
+
+def retract(p: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    return compose(p, exp(xi))
+
+
+def local(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    return log(between(p, q))
+
+
+def adjoint(p: jnp.ndarray) -> jnp.ndarray:
+    """(..., 6, 6) adjoint: Ad_p = [[R, hat(t) R], [0, R]]."""
+    R, t = rot(p), trans(p)
+    tR = so3.hat(t) @ R
+    zero = jnp.zeros_like(R)
+    top = jnp.concatenate([R, tR], axis=-1)
+    bottom = jnp.concatenate([zero, R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def transform(p: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Apply pose p (..., 12) to points (..., N, 3)."""
+    R, t = rot(p), trans(p)
+    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+
+
+def renormalize(p: jnp.ndarray) -> jnp.ndarray:
+    """Re-orthonormalize the rotation part (drift control for long runs)."""
+    return make(so3.normalize(rot(p)), trans(p))
