@@ -1,0 +1,201 @@
+"""Normal-equation assembly and solves for the pose-graph optimizer.
+
+From a `Linearization` (whitened per-factor blocks) we form the damped
+Gauss-Newton system  (H + lambda*D) dx = -g  where
+
+  H = sum_e [Ji Jj]^T [Ji Jj]  +  sum_p Jp^T Jp        (block-sparse, TxT blocks)
+  g = sum_e [Ji Jj]^T r        +  sum_p Jp^T rp
+
+Two backends (SURVEY.md §7.2):
+
+  * dense_solve — scatter the blocks into the full (N*T, N*T) matrix and
+    Cholesky it. On TPU a few-thousand-pose dense Cholesky is a single
+    fused MXU-bound kernel; this is the speed-of-light path for Intel-sized
+    graphs and the fallback reference for tests.
+
+  * pcg_solve — never materialize H. The operator H@v is three einsums over
+    the per-edge blocks plus two segment-sums (gather/scatter along edges) —
+    entirely dense, static-shape TPU ops. Preconditioned with the inverted
+    block diagonal (block-Jacobi). This is the path that scales to
+    city10000+ and shards over the device mesh (parallel/).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from graphslam_tpu.factors.graph import FactorGraph
+from graphslam_tpu.factors.linearize import Linearization
+
+
+class BlockSystem(NamedTuple):
+    """Gauss-Newton system in edge-block form.
+
+    Aii, Aij, Ajj (E, T, T): per-edge Hessian contributions
+      Aii = Ji^T Ji, Aij = Ji^T Jj, Ajj = Jj^T Jj
+    diag (N, T, T): assembled block diagonal of H (including priors)
+    g    (N, T):    gradient J^T r
+    edges (E, 2)
+    """
+
+    Aii: jnp.ndarray
+    Aij: jnp.ndarray
+    Ajj: jnp.ndarray
+    diag: jnp.ndarray
+    g: jnp.ndarray
+    edges: jnp.ndarray
+
+
+def build_blocks(lin: Linearization, graph: FactorGraph, num_poses: int) -> BlockSystem:
+    """Edge-block Hessian + gradient from a linearization. One shot of
+    einsums and segment-sums — the vmapped replacement for GTSAM's
+    per-factor HessianFactor assembly."""
+    Ji, Jj, r = lin.Ji, lin.Jj, lin.r
+    Aii = jnp.einsum("eki,ekj->eij", Ji, Ji)
+    Aij = jnp.einsum("eki,ekj->eij", Ji, Jj)
+    Ajj = jnp.einsum("eki,ekj->eij", Jj, Jj)
+    gi = jnp.einsum("eki,ek->ei", Ji, r)
+    gj = jnp.einsum("eki,ek->ei", Jj, r)
+
+    i_idx = graph.edges[:, 0]
+    j_idx = graph.edges[:, 1]
+    T = r.shape[-1]
+
+    g = jnp.zeros((num_poses, T), r.dtype)
+    g = g.at[i_idx].add(gi).at[j_idx].add(gj)
+
+    diag = jnp.zeros((num_poses, T, T), r.dtype)
+    diag = diag.at[i_idx].add(Aii).at[j_idx].add(Ajj)
+
+    # Priors contribute only to the diagonal and gradient.
+    Ap = jnp.einsum("pki,pkj->pij", lin.Jp, lin.Jp)
+    gp = jnp.einsum("pki,pk->pi", lin.Jp, lin.rp)
+    diag = diag.at[graph.prior_idx].add(Ap)
+    g = g.at[graph.prior_idx].add(gp)
+
+    return BlockSystem(Aii=Aii, Aij=Aij, Ajj=Ajj, diag=diag, g=g, edges=graph.edges)
+
+
+def _damped_diag(sys: BlockSystem, lam: jnp.ndarray, lm_diag_scaling: bool):
+    """LM damping: lambda * diag(H) (Marquardt) or lambda * I."""
+    T = sys.diag.shape[-1]
+    eye = jnp.eye(T, dtype=sys.diag.dtype)
+    if lm_diag_scaling:
+        d = jnp.einsum("nii->ni", sys.diag)
+        return sys.diag + lam * d[..., None] * eye
+    return sys.diag + lam * eye
+
+
+# ---------------------------------------------------------------------------
+# Dense backend
+# ---------------------------------------------------------------------------
+
+
+def dense_solve(
+    sys: BlockSystem,
+    lam: jnp.ndarray,
+    lm_diag_scaling: bool = True,
+) -> jnp.ndarray:
+    """Assemble the full (N*T, N*T) damped Hessian and Cholesky-solve.
+
+    Returns dx (N, T) minimizing the damped quadratic model.
+    """
+    N, T = sys.g.shape
+    H = jnp.zeros((N, T, N, T), sys.g.dtype)
+    i_idx, j_idx = sys.edges[:, 0], sys.edges[:, 1]
+    H = H.at[i_idx, :, i_idx, :].add(sys.Aii)
+    H = H.at[j_idx, :, j_idx, :].add(sys.Ajj)
+    H = H.at[i_idx, :, j_idx, :].add(sys.Aij)
+    H = H.at[j_idx, :, i_idx, :].add(jnp.swapaxes(sys.Aij, -1, -2))
+    # Replace the block diagonal with the (prior-inclusive, damped) one.
+    idx = jnp.arange(N)
+    H = H.at[idx, :, idx, :].set(_damped_diag(sys, lam, lm_diag_scaling))
+    Hf = H.reshape(N * T, N * T)
+    # Cholesky solve; tiny jitter guards rank deficiency at lam -> 0.
+    Hf = Hf + 1e-10 * jnp.eye(N * T, dtype=Hf.dtype)
+    L = jnp.linalg.cholesky(Hf)
+    rhs = -sys.g.reshape(N * T)
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return dx.reshape(N, T)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free PCG backend
+# ---------------------------------------------------------------------------
+
+
+def hvp(sys: BlockSystem, damped_diag: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(H + damping) @ v without materializing H.
+
+    Gathers endpoint tangents, multiplies the TxT edge blocks, scatter-adds
+    back — three batched einsums + two scatters, all static shapes.
+    """
+    i_idx, j_idx = sys.edges[:, 0], sys.edges[:, 1]
+    vi = v[i_idx]
+    vj = v[j_idx]
+    # Off-diagonal contributions (diagonal handled via damped_diag).
+    yi = jnp.einsum("eij,ej->ei", sys.Aij, vj)
+    yj = jnp.einsum("eji,ej->ei", sys.Aij, vi)  # Aij^T vi
+    out = jnp.einsum("nij,nj->ni", damped_diag, v)
+    out = out.at[i_idx].add(yi)
+    out = out.at[j_idx].add(yj)
+    return out
+
+
+def _block_inv(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD TxT inverse via Cholesky (T = 3 or 6 — tiny, vmapped)."""
+    T = blocks.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(T, dtype=blocks.dtype), blocks.shape)
+    L = jnp.linalg.cholesky(blocks + 1e-8 * eye)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return jnp.einsum("nki,nkj->nij", Linv, Linv)
+
+
+@partial(jax.jit, static_argnames=("max_iters", "lm_diag_scaling"))
+def pcg_solve(
+    sys: BlockSystem,
+    lam: jnp.ndarray,
+    max_iters: int = 250,
+    tol: float = 1e-8,
+    lm_diag_scaling: bool = True,
+    x0: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Block-Jacobi preconditioned CG on (H + damping) dx = -g."""
+    damped = _damped_diag(sys, lam, lm_diag_scaling)
+    Minv = _block_inv(damped)
+    b = -sys.g
+
+    def precond(r):
+        return jnp.einsum("nij,nj->ni", Minv, r)
+
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - hvp(sys, damped, x)
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    b_norm2 = jnp.vdot(b, b)
+    thresh = tol * tol * b_norm2
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (k < max_iters) & (jnp.vdot(r, r) > thresh)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = hvp(sys, damped, p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.int32(0)))
+    return x

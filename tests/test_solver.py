@@ -1,0 +1,182 @@
+"""Solver tests: gradient consistency, dense-vs-PCG agreement, and E2E
+convergence on synthetic benchmark graphs (ATE vs ground truth)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphslam_tpu import metrics
+from graphslam_tpu.config import SolverConfig
+from graphslam_tpu.factors import FactorGraph, from_dataset, chi2, linearize
+from graphslam_tpu.geometry import se2
+from graphslam_tpu.io import datasets
+from graphslam_tpu.solver import build_blocks, dense_solve, pcg_solve, gn_solve, lm_solve
+from graphslam_tpu.solver.normal_eq import hvp, _damped_diag
+
+
+def tiny_se2_graph(noise=0.0, seed=0):
+    """4-pose square with a loop closure; measurements from ground truth."""
+    rng = np.random.default_rng(seed)
+    gt = np.array(
+        [
+            [0.0, 0.0, 0.0],
+            [1.0, 0.0, np.pi / 2],
+            [1.0, 1.0, np.pi],
+            [0.0, 1.0, -np.pi / 2],
+        ],
+        np.float32,
+    )
+    edges = np.array([[0, 1], [1, 2], [2, 3], [3, 0]], np.int32)
+
+    def between(a, b):
+        return np.asarray(se2.between(jnp.asarray(a), jnp.asarray(b)))
+
+    meas = np.stack([between(gt[i], gt[j]) for i, j in edges])
+    meas += noise * rng.normal(size=meas.shape).astype(np.float32)
+    info = np.tile(np.eye(3, dtype=np.float32)[None] * 100.0, (4, 1, 1))
+    data = {
+        "dim": 2,
+        "poses": gt + 0.1 * rng.normal(size=gt.shape).astype(np.float32),
+        "edges": edges,
+        "measurements": meas,
+        "information": info,
+        "is_loop": np.array([False, False, False, True]),
+        "gt": gt,
+    }
+    return data
+
+
+class TestLinearization:
+    def test_gradient_matches_autodiff(self):
+        """build_blocks' g must equal d(chi2)/d(tangent) at zero perturbation
+        (up to the factor 2 from d(r^T r) = 2 J^T r)."""
+        data = tiny_se2_graph(noise=0.02)
+        graph = from_dataset(data)
+        poses = jnp.asarray(data["poses"])
+
+        lin = linearize(poses, graph)
+        sys = build_blocks(lin, graph, poses.shape[0])
+
+        def cost(dx):
+            return chi2(se2.retract(poses, dx), graph)
+
+        g_auto = jax.grad(cost)(jnp.zeros_like(poses))
+        assert np.allclose(2.0 * sys.g, g_auto, rtol=1e-3, atol=1e-3)
+
+    def test_chi2_zero_at_ground_truth(self):
+        data = tiny_se2_graph(noise=0.0)
+        graph = from_dataset(data)
+        # Prior anchors node 0 at the (perturbed) initial pose, so evaluate
+        # only the between-edges by anchoring the prior at gt instead.
+        graph = graph.replace(prior_meas=jnp.asarray(data["gt"][0:1]))
+        err = chi2(jnp.asarray(data["gt"]), graph)
+        assert float(err) < 1e-6
+
+
+class TestNormalEq:
+    def test_hvp_matches_dense(self):
+        data = tiny_se2_graph(noise=0.02)
+        graph = from_dataset(data)
+        poses = jnp.asarray(data["poses"])
+        lin = linearize(poses, graph)
+        sys = build_blocks(lin, graph, 4)
+        lam = jnp.asarray(0.1)
+
+        # Dense H from dense_solve's assembly path: solve for random rhs and
+        # compare against CG's operator applied to the solution.
+        v = jax.random.normal(jax.random.PRNGKey(1), (4, 3))
+        damped = _damped_diag(sys, lam, True)
+        hv = hvp(sys, damped, v)
+
+        # Build dense explicitly.
+        N, T = 4, 3
+        H = np.zeros((N, T, N, T), np.float64)
+        Aii, Aij, Ajj = np.asarray(sys.Aii), np.asarray(sys.Aij), np.asarray(sys.Ajj)
+        for e, (i, j) in enumerate(np.asarray(sys.edges)):
+            H[i, :, i, :] += Aii[e]
+            H[j, :, j, :] += Ajj[e]
+            H[i, :, j, :] += Aij[e]
+            H[j, :, i, :] += Aij[e].T
+        diag = np.asarray(sys.diag)
+        for n in range(N):
+            H[n, :, n, :] = np.asarray(damped)[n]
+        Hf = H.reshape(N * T, N * T)
+        expected = (Hf @ np.asarray(v).reshape(-1)).reshape(N, T)
+        assert np.allclose(hv, expected, rtol=1e-4, atol=1e-4)
+
+    def test_dense_and_pcg_agree(self):
+        data = tiny_se2_graph(noise=0.02)
+        graph = from_dataset(data)
+        poses = jnp.asarray(data["poses"])
+        lin = linearize(poses, graph)
+        sys = build_blocks(lin, graph, 4)
+        lam = jnp.asarray(1e-3)
+        dx_dense = dense_solve(sys, lam)
+        dx_pcg = pcg_solve(sys, lam, max_iters=200, tol=1e-10)
+        assert np.allclose(dx_dense, dx_pcg, rtol=1e-3, atol=1e-4)
+
+
+class TestEndToEnd:
+    def test_gn_tiny(self):
+        data = tiny_se2_graph(noise=0.0)
+        graph = from_dataset(data)
+        graph = graph.replace(prior_meas=jnp.asarray(data["gt"][0:1]))
+        poses = gn_solve(jnp.asarray(data["poses"]), graph, iterations=10)
+        assert float(chi2(poses, graph)) < 1e-6
+        # Compare on the manifold (theta = pi and -pi are the same rotation).
+        diff = se2.local(poses, jnp.asarray(data["gt"]))
+        assert np.allclose(diff, np.zeros((4, 3)), atol=1e-3)
+
+    def test_lm_manhattan_small_dense(self):
+        data = datasets.manhattan(n_poses=300, seed=4)
+        graph = from_dataset(data)
+        poses0 = jnp.asarray(data["poses"])
+        cfg = SolverConfig(mode="dense", max_iterations=50)
+        out = lm_solve(poses0, graph, cfg)
+        e0 = float(chi2(poses0, graph))
+        e1 = float(out.error)
+        assert e1 < 0.1 * e0
+        ate = float(metrics.ate(out.poses, jnp.asarray(data["gt"])))
+        ate0 = float(metrics.ate(poses0, jnp.asarray(data["gt"])))
+        assert ate < 0.5 * ate0
+        # Final chi2 sits at the expected optimum (~m-n); the remaining ATE is
+        # the information limit of a 300-pose walk with ~10 loop closures.
+        assert ate < 0.35
+
+    def test_lm_manhattan_small_pcg(self):
+        data = datasets.manhattan(n_poses=300, seed=4)
+        graph = from_dataset(data)
+        poses0 = jnp.asarray(data["poses"])
+        cfg = SolverConfig(mode="pcg", max_iterations=50)
+        out = lm_solve(poses0, graph, cfg)
+        ate = float(metrics.ate(out.poses, jnp.asarray(data["gt"])))
+        assert ate < 0.35
+
+    def test_lm_sphere_se3(self):
+        data = datasets.sphere(n_rings=8, poses_per_ring=12, radius=5.0, seed=5)
+        graph = from_dataset(data)
+        poses0 = jnp.asarray(data["poses"])
+        cfg = SolverConfig(mode="dense", max_iterations=60)
+        out = lm_solve(poses0, graph, cfg)
+        e0 = float(chi2(poses0, graph))
+        assert float(out.error) < 0.1 * e0
+        ate = float(metrics.ate(out.poses, jnp.asarray(data["gt"])))
+        ate0 = float(metrics.ate(poses0, jnp.asarray(data["gt"])))
+        assert ate < ate0
+        assert ate < 0.3
+
+    def test_huber_handles_outlier_loop(self):
+        data = tiny_se2_graph(noise=0.0)
+        # Corrupt the loop closure badly.
+        data["measurements"][3] += np.array([2.0, -2.0, 1.0], np.float32)
+        graph = from_dataset(data)
+        graph = graph.replace(prior_meas=jnp.asarray(data["gt"][0:1]))
+        cfg = SolverConfig(mode="dense", use_huber_on_loops=True, max_iterations=50)
+        out = lm_solve(jnp.asarray(data["poses"]), graph, cfg)
+        cfg_plain = SolverConfig(mode="dense", max_iterations=50)
+        out_plain = lm_solve(jnp.asarray(data["poses"]), graph, cfg_plain)
+        ate_huber = float(metrics.ate(out.poses, jnp.asarray(data["gt"]), align=False))
+        ate_plain = float(
+            metrics.ate(out_plain.poses, jnp.asarray(data["gt"]), align=False)
+        )
+        assert ate_huber < ate_plain
