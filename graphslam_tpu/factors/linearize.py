@@ -93,19 +93,27 @@ def chi2(
     return jnp.sum(e) + jnp.sum(ep)
 
 
-def linearize(
+def linearize_edges(
     poses: jnp.ndarray,
-    graph: FactorGraph,
+    edges: jnp.ndarray,
+    measurements: jnp.ndarray,
+    sqrt_info: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    is_loop: jnp.ndarray,
     huber_delta: float = 1.0,
     use_huber: bool = False,
-) -> Linearization:
-    """Whitened residuals and Jacobians at `poses` for every factor at once."""
-    g = group_for(graph.tangent_dim)
-    T = graph.tangent_dim
+):
+    """Whitened (r, Ji, Jj) for an arbitrary slice of between-edges.
+
+    Array-level so the sharded solver can call it on a per-device shard
+    inside shard_map (parallel/dist.py) with identical semantics.
+    """
+    T = sqrt_info.shape[-1]
+    g = group_for(T)
     zeros = jnp.zeros((T,), poses.dtype)
 
-    xi = poses[graph.edges[:, 0]]
-    xj = poses[graph.edges[:, 1]]
+    xi = poses[edges[:, 0]]
+    xj = poses[edges[:, 1]]
 
     def lin_one(a, b, z):
         def f(di, dj):
@@ -116,22 +124,30 @@ def linearize(
         Jj = jax.jacfwd(f, argnums=1)(zeros, zeros)
         return r, Ji, Jj
 
-    r, Ji, Jj = jax.vmap(lin_one)(xi, xj, graph.measurements)
+    r, Ji, Jj = jax.vmap(lin_one)(xi, xj, measurements)
 
-    # Whiten.
-    rw = jnp.einsum("eab,eb->ea", graph.sqrt_info, r)
-    Jiw = jnp.einsum("eab,ebc->eac", graph.sqrt_info, Ji)
-    Jjw = jnp.einsum("eab,ebc->eac", graph.sqrt_info, Jj)
+    rw = jnp.einsum("eab,eb->ea", sqrt_info, r)
+    Jiw = jnp.einsum("eab,ebc->eac", sqrt_info, Ji)
+    Jjw = jnp.einsum("eab,ebc->eac", sqrt_info, Jj)
 
     # Robust reweighting (loop edges only — BASELINE config 2).
-    sw = _huber_weights(rw, graph.is_loop, huber_delta, use_huber)
-    m = jnp.where(graph.edge_mask, sw, 0.0)[:, None]
-    rw = rw * m
-    Jiw = Jiw * m[..., None]
-    Jjw = Jjw * m[..., None]
+    sw = _huber_weights(rw, is_loop, huber_delta, use_huber)
+    m = jnp.where(edge_mask, sw, 0.0)[:, None]
+    return rw * m, Jiw * m[..., None], Jjw * m[..., None]
 
-    # Priors.
-    xp = poses[graph.prior_idx]
+
+def linearize_priors(
+    poses: jnp.ndarray,
+    prior_idx: jnp.ndarray,
+    prior_meas: jnp.ndarray,
+    prior_sqrt_info: jnp.ndarray,
+    prior_mask: jnp.ndarray,
+):
+    """Whitened (rp, Jp) for the prior factors."""
+    T = prior_sqrt_info.shape[-1]
+    g = group_for(T)
+    zeros = jnp.zeros((T,), poses.dtype)
+    xp = poses[prior_idx]
 
     def lin_prior(a, z):
         def f(d):
@@ -139,11 +155,35 @@ def linearize(
 
         return f(zeros), jax.jacfwd(f)(zeros)
 
-    rp, Jp = jax.vmap(lin_prior)(xp, graph.prior_meas)
-    rpw = jnp.einsum("pab,pb->pa", graph.prior_sqrt_info, rp)
-    Jpw = jnp.einsum("pab,pbc->pac", graph.prior_sqrt_info, Jp)
-    pm = graph.prior_mask[:, None].astype(poses.dtype)
-    rpw = rpw * pm
-    Jpw = Jpw * pm[..., None]
+    rp, Jp = jax.vmap(lin_prior)(xp, prior_meas)
+    rpw = jnp.einsum("pab,pb->pa", prior_sqrt_info, rp)
+    Jpw = jnp.einsum("pab,pbc->pac", prior_sqrt_info, Jp)
+    pm = prior_mask[:, None].astype(poses.dtype)
+    return rpw * pm, Jpw * pm[..., None]
 
+
+def linearize(
+    poses: jnp.ndarray,
+    graph: FactorGraph,
+    huber_delta: float = 1.0,
+    use_huber: bool = False,
+) -> Linearization:
+    """Whitened residuals and Jacobians at `poses` for every factor at once."""
+    rw, Jiw, Jjw = linearize_edges(
+        poses,
+        graph.edges,
+        graph.measurements,
+        graph.sqrt_info,
+        graph.edge_mask,
+        graph.is_loop,
+        huber_delta=huber_delta,
+        use_huber=use_huber,
+    )
+    rpw, Jpw = linearize_priors(
+        poses,
+        graph.prior_idx,
+        graph.prior_meas,
+        graph.prior_sqrt_info,
+        graph.prior_mask,
+    )
     return Linearization(r=rw, Ji=Jiw, Jj=Jjw, rp=rpw, Jp=Jpw)
