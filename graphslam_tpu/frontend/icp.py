@@ -33,7 +33,13 @@ from graphslam_tpu.geometry import se2, so2
 
 class MatchResult(NamedTuple):
     delta: jnp.ndarray        # (3,) SE(2) source->target transform estimate
-    fitness: jnp.ndarray      # () mean squared correspondence distance
+    fitness: jnp.ndarray      # () PCL getFitnessScore semantics: mean squared
+                              #    NN distance over ALL valid source points,
+                              #    ungated — grows with scan novelty, which is
+                              #    exactly what the reference's keyframe
+                              #    motion gate thresholds (scanner.cpp:49,57)
+    inlier_rms: jnp.ndarray   # () RMS distance over gated correspondences
+                              #    (match quality, small = good alignment)
     matched_frac: jnp.ndarray # () fraction of source points with a match
     converged: jnp.ndarray    # () bool: final GN update below tolerance
     mahal_rmse: jnp.ndarray   # () sqrt(mean Mahalanobis residual)
@@ -160,7 +166,9 @@ def gicp_match(
         new_delta = jnp.concatenate(
             [delta[:2] + upd[:2], so2.wrap(delta[2] + upd[2])[None]]
         )
+        wall = jnp.where(src_mask, 1.0, 0.0)
         stats = (
+            jnp.sum(nn_d2 * wall),  # ungated (PCL fitness numerator)
             jnp.sum(nn_d2 * wv),
             jnp.sum(wv),
             jnp.sum(jnp.einsum("na,nab,nb->n", e, M, e) * wv),
@@ -169,14 +177,15 @@ def gicp_match(
         return new_delta, stats
 
     delta, stats = jax.lax.scan(step, delta0, None, length=iterations)
-    sum_d2, n_match, sum_mahal, last_upd = jax.tree_util.tree_map(
+    sum_d2_all, sum_d2, n_match, sum_mahal, last_upd = jax.tree_util.tree_map(
         lambda x: x[-1], stats
     )
     n_src = jnp.maximum(jnp.sum(jnp.where(src_mask, 1.0, 0.0)), 1.0)
     n_safe = jnp.maximum(n_match, 1.0)
     return MatchResult(
         delta=delta,
-        fitness=sum_d2 / n_safe,
+        fitness=sum_d2_all / n_src,
+        inlier_rms=jnp.sqrt(sum_d2 / n_safe),
         matched_frac=n_match / n_src,
         converged=last_upd < tol,
         mahal_rmse=jnp.sqrt(sum_mahal / n_safe),

@@ -23,10 +23,14 @@ class KeyframeDecision(NamedTuple):
 
 
 def decide_keyframe(match: MatchResult, cfg: FrontendConfig) -> KeyframeDecision:
-    moved_enough = match.fitness > cfg.keyframe_fitness_threshold
+    moved_enough = (
+        (match.fitness > cfg.keyframe_fitness_threshold)
+        | (jnp.linalg.norm(match.delta[..., :2], axis=-1) > cfg.keyframe_trans_threshold)
+        | (jnp.abs(match.delta[..., 2]) > cfg.keyframe_rot_threshold)
+    )
     reliable = (
         match.converged
-        & (match.mahal_rmse < cfg.max_match_rmse / cfg.gicp_epsilon**0.5)
+        & (match.inlier_rms < cfg.max_match_rmse)
         & (match.matched_frac > 0.5)
     )
     return KeyframeDecision(is_keyframe=moved_enough, is_reliable=reliable)

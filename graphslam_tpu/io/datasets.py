@@ -50,35 +50,52 @@ def manhattan(
     step: float = 1.0,
     trans_sigma: float = 0.05,
     rot_sigma: float = 0.01,
-    loop_prob: float = 0.3,
+    loop_prob: float = 0.5,
     loop_radius: float = 0.8,
     loop_skip: int = 50,
     max_loops_per_pose: int = 2,
+    extent: int | None = None,
     seed: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Olson-style Manhattan-world 2D pose graph (M3500 at defaults).
 
-    Ground-truth trajectory is a grid random walk (straight / turn ±90°);
-    odometry edges get Gaussian noise; loop closures connect each pose to up
-    to `max_loops_per_pose` earlier poses within `loop_radius` (excluding the
-    `loop_skip` most recent — mirroring the reference's recency exclusion,
-    graph.cpp:15).
+    Ground-truth trajectory is a grid random walk (straight / turn ±90°)
+    BOUNDED to a [-extent, extent]^2 box so the robot revisits places — the
+    property that gives the real M3500/city10000 their ~0.5 loop-closure-per-
+    pose density. Odometry edges get Gaussian noise; loop closures connect
+    each pose to up to `max_loops_per_pose` earlier poses within
+    `loop_radius` (excluding the `loop_skip` most recent — mirroring the
+    reference's recency exclusion, graph.cpp:15).
     """
     rng = np.random.default_rng(seed)
+    if extent is None:
+        # ~1.3 visits per cell on average, like the public Manhattan sets.
+        extent = max(5, int(0.55 * np.sqrt(n_poses)))
+
+    # Headings are multiples of pi/2; positions stay on the integer grid.
     gt = np.zeros((n_poses, 3))
-    # Random walk on the grid.
+    pos = np.zeros(2)
+    h = 0  # heading index, 0..3 -> angle h*pi/2
+    dirs = np.array([[1, 0], [0, 1], [-1, 0], [0, -1]], float)
     for i in range(1, n_poses):
+        # Choose the next heading: mostly straight, sometimes turn; never
+        # step outside the box (pick among in-box headings, no U-turns
+        # unless forced).
         r = rng.random()
-        prev = gt[i - 1]
         if r < 0.6:
-            turn = 0.0
+            prefs = [h, (h + 1) % 4, (h + 3) % 4]
         elif r < 0.8:
-            turn = np.pi / 2
+            prefs = [(h + 1) % 4, h, (h + 3) % 4]
         else:
-            turn = -np.pi / 2
-        delta = np.array([step, 0.0, turn])
-        gt[i] = _se2_compose(prev, delta)
-        gt[i, :2] = np.round(gt[i, :2] / step) * step  # stay on grid
+            prefs = [(h + 3) % 4, h, (h + 1) % 4]
+        prefs.append((h + 2) % 4)  # U-turn as last resort
+        for cand in prefs:
+            nxt = pos + dirs[cand] * step
+            if np.all(np.abs(nxt) <= extent * step):
+                h = cand
+                pos = nxt
+                break
+        gt[i] = [pos[0], pos[1], (h * np.pi / 2 + np.pi) % (2 * np.pi) - np.pi]
 
     # Odometry edges.
     odo_ij = np.stack([np.arange(n_poses - 1), np.arange(1, n_poses)], axis=1)

@@ -1,0 +1,270 @@
+"""The jitted SLAM step: scan in, updated map out.
+
+One call covers the whole reference dataflow for a scan (SURVEY.md §3.1-3.2):
+scanner_callback (projection + GICP vs last keyframe + loop probe) and
+registration_callback (prior/new/loop factor creation) fused in-process, plus
+the solve() the reference disabled (graph.cpp:195). Branches are masked
+writes, not Python control flow — the step compiles once and never
+recompiles as the map grows.
+
+The two GICP registrations (odometry + loop candidate) that the reference
+ran serially (scanner.cpp:115,141) run as one vmapped batch of 2.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphslam_tpu.config import SLAMConfig
+from graphslam_tpu.factors.graph import FactorGraph
+from graphslam_tpu.factors.linearize import chi2
+from graphslam_tpu.frontend.icp import gicp_match
+from graphslam_tpu.frontend.keyframes import motion_covariance
+from graphslam_tpu.frontend.projection import beam_angles, scan_to_points
+from graphslam_tpu.geometry import se2
+from graphslam_tpu.slam.state import SLAMState, init_state
+from graphslam_tpu.solver.lm import _gn_loop
+
+
+class StepInfo(NamedTuple):
+    is_keyframe: jnp.ndarray
+    added_loop: jnp.ndarray
+    fitness: jnp.ndarray
+    delta: jnp.ndarray
+    num_kf: jnp.ndarray
+    num_factors: jnp.ndarray
+
+
+def graph_view(state: SLAMState, cfg: SLAMConfig) -> FactorGraph:
+    """A FactorGraph view over the state arrays (no copies).
+
+    Inactive poses (index >= num_kf) get identity priors anchored at their
+    current values — zero residual, but keeps the masked normal equations
+    nonsingular so one solver compilation serves every map size.
+    """
+    K = state.kf_poses.shape[0]
+    idx = jnp.arange(K)
+    inactive = idx >= state.num_kf
+    prior_mask = (idx == 0) | inactive
+    anchor_info_sqrt = jnp.eye(3, dtype=state.kf_poses.dtype) / cfg.prior_sigma_xy
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=state.kf_poses.dtype), (K, 3, 3))
+    prior_sqrt = jnp.where((idx == 0)[:, None, None], anchor_info_sqrt, eye)
+    prior_meas = jnp.where((idx == 0)[:, None], state.anchor, state.kf_poses)
+    return FactorGraph(
+        edges=state.edges,
+        measurements=state.meas,
+        sqrt_info=state.sqrt_info,
+        edge_mask=state.edge_mask,
+        is_loop=state.is_loop,
+        prior_idx=idx.astype(jnp.int32),
+        prior_meas=prior_meas,
+        prior_sqrt_info=prior_sqrt,
+        prior_mask=prior_mask,
+    )
+
+
+def _sqrt_info_from_cov(cov: jnp.ndarray) -> jnp.ndarray:
+    """Upper sqrt-information from a covariance: info = cov^-1 = U^T U."""
+    L = jnp.linalg.cholesky(cov)
+    eye = jnp.eye(cov.shape[-1], dtype=cov.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    # info = Linv^T Linv, so U = Linv works: U^T U = info, U lower->no; take
+    # Linv itself (triangularity is irrelevant to the solver, only U^T U).
+    return Linv
+
+
+def make_slam_step(cfg: SLAMConfig):
+    """Build the jitted step: (state, ranges, odom_delta) -> (state, info)."""
+    fcfg = cfg.frontend
+    angles = beam_angles(fcfg.num_beams, fcfg.fov_rad)
+    scfg = cfg.solver
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: SLAMState, ranges: jnp.ndarray, odom_delta: jnp.ndarray):
+        pts, mask = scan_to_points(
+            ranges, angles, fcfg.min_range, fcfg.max_range, fcfg.max_points
+        )
+        first = state.num_kf == 0
+        last_idx = jnp.maximum(state.num_kf - 1, 0)
+        last_pose = state.kf_poses[last_idx]
+        last_pts = state.kf_points[last_idx]
+        last_mask = state.kf_masks[last_idx]
+
+        # Odometry accumulated since the last keyframe — the ICP prior and
+        # the fallback factor measurement.
+        odom_acc = se2.compose(state.odom_accum, odom_delta)
+
+        # --- loop candidate (graph.cpp:146-178's O(n) scan as one argmin) ---
+        pose_guess = se2.compose(last_pose, odom_acc)
+        kidx = jnp.arange(state.kf_poses.shape[0])
+        eligible = kidx < (state.num_kf - cfg.loop_closure_skip)
+        d2 = jnp.sum((state.kf_poses[:, :2] - pose_guess[:2]) ** 2, axis=-1)
+        d2 = jnp.where(eligible, d2, jnp.inf)
+        cand_idx = jnp.argmin(d2)
+        cand_dist = jnp.sqrt(d2[cand_idx])
+        cand_pose = state.kf_poses[cand_idx]
+        cand_pts = state.kf_points[cand_idx]
+        cand_mask = state.kf_masks[cand_idx]
+
+        # --- batched GICP: [vs last keyframe, vs loop candidate] ------------
+        loop_init = se2.between(cand_pose, pose_guess)
+        batched = jax.vmap(
+            lambda s, sm, t, tm, i: gicp_match(
+                s, sm, t, tm,
+                init_delta=i,
+                iterations=fcfg.icp_iterations,
+                max_corr_dist=fcfg.max_correspondence_distance,
+                half_window=fcfg.normal_half_window,
+                gicp_eps=fcfg.gicp_epsilon,
+            )
+        )
+        res = batched(
+            jnp.stack([pts, pts]),
+            jnp.stack([mask, mask]),
+            jnp.stack([last_pts, cand_pts]),
+            jnp.stack([last_mask, cand_mask]),
+            jnp.stack([odom_acc, loop_init]),
+        )
+        odo_delta = res.delta[0]
+        odo_fitness = res.fitness[0]
+        odo_ok = (
+            res.converged[0]
+            & (res.matched_frac[0] > 0.5)
+            & (res.inlier_rms[0] < fcfg.max_match_rmse)
+        )
+        loop_delta = res.delta[1]
+        loop_ok = (
+            res.converged[1]
+            & (res.matched_frac[1] > 0.5)
+            & (res.inlier_rms[1] < fcfg.max_match_rmse)
+        )
+
+        # --- keyframe decision (reference motion gate + our quality gate) ---
+        moved_enough = (
+            (odo_fitness > fcfg.keyframe_fitness_threshold)
+            | (jnp.linalg.norm(res.delta[0][:2]) > fcfg.keyframe_trans_threshold)
+            | (jnp.abs(res.delta[0][2]) > fcfg.keyframe_rot_threshold)
+        )
+        is_kf = first | (moved_enough & odo_ok)
+
+        # When the match is unreliable, fall back to raw odometry for the
+        # factor (the reference trusted a poor alignment — SURVEY.md §3.6.3).
+        delta = jnp.where(odo_ok, odo_delta, odom_acc)
+        new_pose = jnp.where(first, jnp.zeros(3, pts.dtype), se2.compose(last_pose, delta))
+
+        do_loop = (
+            is_kf
+            & ~first
+            & (cand_dist < cfg.loop_closure_max_distance)
+            & loop_ok
+        )
+
+        # --- commit keyframe (masked writes) --------------------------------
+        ki = jnp.minimum(state.num_kf, state.kf_poses.shape[0] - 1)
+        kf_poses = state.kf_poses.at[ki].set(
+            jnp.where(is_kf, new_pose, state.kf_poses[ki])
+        )
+        kf_points = state.kf_points.at[ki].set(
+            jnp.where(is_kf, pts, state.kf_points[ki])
+        )
+        kf_masks = state.kf_masks.at[ki].set(
+            jnp.where(is_kf, mask, state.kf_masks[ki])
+        )
+        num_kf = state.num_kf + jnp.where(is_kf, 1, 0).astype(jnp.int32)
+
+        # --- factors --------------------------------------------------------
+        F = state.edges.shape[0]
+        add_odo = is_kf & ~first
+        cov = motion_covariance(delta, fcfg)
+        si = _sqrt_info_from_cov(cov)
+        f0 = jnp.minimum(state.num_factors, F - 1)
+        edges = state.edges.at[f0].set(
+            jnp.where(add_odo, jnp.stack([last_idx, ki]).astype(jnp.int32), state.edges[f0])
+        )
+        meas = state.meas.at[f0].set(jnp.where(add_odo, delta, state.meas[f0]))
+        sqrt_info = state.sqrt_info.at[f0].set(
+            jnp.where(add_odo, si, state.sqrt_info[f0])
+        )
+        edge_mask = state.edge_mask.at[f0].set(
+            jnp.where(add_odo, True, state.edge_mask[f0])
+        )
+        is_loop_arr = state.is_loop.at[f0].set(
+            jnp.where(add_odo, False, state.is_loop[f0])
+        )
+        nf = state.num_factors + jnp.where(add_odo, 1, 0).astype(jnp.int32)
+
+        loop_cov = motion_covariance(loop_delta, fcfg)
+        loop_si = _sqrt_info_from_cov(loop_cov)
+        f1 = jnp.minimum(nf, F - 1)
+        edges = edges.at[f1].set(
+            jnp.where(do_loop, jnp.stack([cand_idx, ki]).astype(jnp.int32), edges[f1])
+        )
+        meas = meas.at[f1].set(jnp.where(do_loop, loop_delta, meas[f1]))
+        sqrt_info = sqrt_info.at[f1].set(jnp.where(do_loop, loop_si, sqrt_info[f1]))
+        edge_mask = edge_mask.at[f1].set(jnp.where(do_loop, True, edge_mask[f1]))
+        is_loop_arr = is_loop_arr.at[f1].set(jnp.where(do_loop, True, is_loop_arr[f1]))
+        nf = nf + jnp.where(do_loop, 1, 0).astype(jnp.int32)
+
+        state = state.replace(
+            kf_poses=kf_poses,
+            kf_points=kf_points,
+            kf_masks=kf_masks,
+            num_kf=num_kf,
+            edges=edges,
+            meas=meas,
+            sqrt_info=sqrt_info,
+            edge_mask=edge_mask,
+            is_loop=is_loop_arr,
+            num_factors=nf,
+            odom_accum=jnp.where(is_kf, jnp.zeros(3, pts.dtype), odom_acc),
+        )
+
+        # --- periodic solve (the graph.cpp:195 solve, enabled) --------------
+        do_solve = is_kf & (num_kf % cfg.solve_every == 0) & (num_kf > 1)
+
+        def solve(s: SLAMState):
+            graph = graph_view(s, cfg)
+            poses = _gn_loop(s.kf_poses, graph, scfg, "pcg", cfg.solve_iterations)
+            return s.replace(kf_poses=poses)
+
+        state = jax.lax.cond(do_solve, solve, lambda s: s, state)
+
+        info = StepInfo(
+            is_keyframe=is_kf,
+            added_loop=do_loop,
+            fitness=odo_fitness,
+            delta=delta,
+            num_kf=num_kf,
+            num_factors=nf,
+        )
+        return state, info
+
+    return step
+
+
+def run_slam(
+    scans: np.ndarray,
+    odom_deltas: Optional[np.ndarray],
+    cfg: SLAMConfig,
+):
+    """Replay driver: feed every scan through the jitted step.
+
+    Returns (final_state, list[StepInfo]). The reference's equivalent is the
+    whole roslaunch closed loop (SURVEY.md §4) — here it's a deterministic
+    array program.
+    """
+    step = make_slam_step(cfg)
+    state = init_state(cfg)
+    infos = []
+    T = scans.shape[0]
+    zeros = jnp.zeros(3, state.kf_poses.dtype)
+    for t in range(T):
+        od = zeros if odom_deltas is None or t == 0 else jnp.asarray(odom_deltas[t - 1])
+        state, info = step(state, jnp.asarray(scans[t]), od)
+        infos.append(jax.tree_util.tree_map(np.asarray, info))
+    return state, infos

@@ -1,0 +1,81 @@
+"""Closed-loop pipeline tests: simulated world -> online SLAM -> ATE."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from graphslam_tpu import metrics
+from graphslam_tpu.config import FrontendConfig, SLAMConfig, SolverConfig
+from graphslam_tpu.geometry import se2
+from graphslam_tpu.sim import simulate_trajectory
+from graphslam_tpu.slam import run_slam
+from graphslam_tpu.slam.odometry import init_buffer, integrate_twist, query_interval
+
+
+def small_cfg(**kw):
+    fcfg = FrontendConfig(num_beams=361, max_points=384, icp_iterations=24)
+    return SLAMConfig(
+        max_keyframes=256,
+        max_factors=1024,
+        frontend=fcfg,
+        solver=SolverConfig(mode="pcg", cg_max_iterations=50),
+        **kw,
+    )
+
+
+class TestOdometryBuffer:
+    def test_integration_and_query(self):
+        buf = init_buffer(depth=64)
+        # Drive straight 1 m/s for 10 ticks of 0.1 s, then turn in place.
+        for k in range(10):
+            buf = integrate_twist(
+                buf, jnp.array([1.0, 0.0, 0.0]), jnp.float32(0.1), jnp.float32(k * 0.1)
+            )
+        assert np.allclose(buf.pose, [1.0, 0.0, 0.0], atol=1e-5)
+        delta, cov = query_interval(buf, jnp.float32(0.0), jnp.float32(0.95))
+        assert np.allclose(delta[0], 0.9, atol=0.06)
+        assert cov[0, 0] > 0
+
+    def test_ring_wraps(self):
+        buf = init_buffer(depth=8)
+        for k in range(20):
+            buf = integrate_twist(
+                buf, jnp.array([0.5, 0.0, 0.1]), jnp.float32(0.1), jnp.float32(k * 0.1)
+            )
+        assert int(buf.head) == 20
+        assert bool(buf.valid.all())
+
+
+class TestClosedLoop:
+    def test_slam_on_simulated_run(self):
+        cfg = small_cfg()
+        sim = simulate_trajectory(cfg.frontend, step_len=0.35, seed=3)
+        # Use a subsampled run to keep the test fast.
+        scans = sim["scans"][:120]
+        odom = sim["odom_deltas"][:119]
+        gt = sim["gt_poses"][:120]
+
+        state, infos = run_slam(scans, odom, cfg)
+        n_kf = int(state.num_kf)
+        assert n_kf >= 10, f"expected keyframes, got {n_kf}"
+        assert int(state.num_factors) >= n_kf - 1
+
+        # Keyframe trajectory vs the ground-truth poses where keyframes fired.
+        kf_steps = [t for t, i in enumerate(infos) if bool(i.is_keyframe)]
+        est = np.asarray(state.kf_poses[:n_kf])
+        ref = gt[kf_steps]
+        ate = float(metrics.ate(jnp.asarray(est), jnp.asarray(ref)))
+        # Raw odometry-only dead reckoning error for comparison.
+        dead = [gt[0]]
+        for d in odom:
+            dead.append(np.asarray(se2.compose(jnp.asarray(dead[-1]), jnp.asarray(d))))
+        dead = np.asarray(dead)
+        ate_dead = float(metrics.ate(jnp.asarray(dead[kf_steps]), jnp.asarray(ref)))
+        assert ate < 0.5, f"SLAM ATE too high: {ate} (dead-reckoning {ate_dead})"
+
+    def test_first_frame_creates_keyframe(self):
+        cfg = small_cfg()
+        sim = simulate_trajectory(cfg.frontend, step_len=0.35, seed=3)
+        state, infos = run_slam(sim["scans"][:1], None, cfg)
+        assert int(state.num_kf) == 1
+        assert bool(infos[0].is_keyframe)
+        assert int(state.num_factors) == 0  # prior is implicit, not an edge
