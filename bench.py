@@ -17,10 +17,17 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def sync(x):
+    """Force completion: on the remote-TPU (axon) platform block_until_ready
+    can return before the computation lands, so fetch to host."""
+    return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0]
 
 
 def main():
@@ -52,13 +59,12 @@ def main():
     # lax.scan. Inputs are perturbed per repeat to defeat any call caching.
     iters = 50
     tcfg = SolverConfig(mode="pcg", cg_max_iterations=50, cg_tol=1e-7)
-    _gn_loop(poses0, graph, tcfg, "pcg", iters).block_until_ready()  # compile
+    sync(_gn_loop(poses0, graph, tcfg, "pcg", iters))  # compile + settle
 
     times = []
     for rep in range(5):
-        p = poses0 + (1e-6 * (rep + 1))
         t0 = time.perf_counter()
-        _gn_loop(p, graph, tcfg, "pcg", iters).block_until_ready()
+        sync(_gn_loop(poses0, graph, tcfg, "pcg", iters))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     its_per_s = iters / dt

@@ -30,6 +30,62 @@ class TestG2O:
         assert np.allclose(back["information"], data["information"], rtol=1e-4)
 
 
+class TestNativeParser:
+    def test_native_matches_python(self, tmp_path):
+        import pytest
+
+        try:
+            from graphslam_tpu.io import native_g2o
+            native_g2o._lib()
+        except OSError:
+            pytest.skip("native parser not built (make -C native)")
+        data = datasets.manhattan(n_poses=200, seed=21)
+        path = str(tmp_path / "n.g2o")
+        save_g2o(path, data)
+        a = load_g2o(path, use_native=False)
+        b = load_g2o(path, use_native=True)
+        for k in ("poses", "edges", "measurements", "information"):
+            assert np.allclose(a[k], b[k], atol=1e-12), k
+
+    def test_native_se3(self, tmp_path):
+        import pytest
+
+        try:
+            from graphslam_tpu.io import native_g2o
+            native_g2o._lib()
+        except OSError:
+            pytest.skip("native parser not built (make -C native)")
+        data = datasets.sphere(n_rings=4, poses_per_ring=6, radius=3.0)
+        path = str(tmp_path / "n3.g2o")
+        save_g2o(path, data)
+        a = load_g2o(path, use_native=False)
+        b = load_g2o(path, use_native=True)
+        for k in ("poses", "edges", "measurements", "information"):
+            assert np.allclose(a[k], b[k], atol=1e-10), k
+
+
+class TestCheckpoint:
+    def test_roundtrip_slam_state(self, tmp_path):
+        import jax.numpy as jnp
+
+        from graphslam_tpu.config import FrontendConfig, SLAMConfig
+        from graphslam_tpu.io.checkpoint import save_state, load_slam_state
+        from graphslam_tpu.slam import init_state
+
+        cfg = SLAMConfig(
+            max_keyframes=16, max_factors=32,
+            frontend=FrontendConfig(num_beams=8, max_points=16),
+        )
+        s = init_state(cfg)
+        s = s.replace(num_kf=jnp.int32(3), anchor=jnp.array([1.0, 2.0, 0.3]))
+        path = str(tmp_path / "state.npz")
+        save_state(path, s)
+        back = load_slam_state(path)
+        assert int(back.num_kf) == 3
+        assert np.allclose(back.anchor, [1.0, 2.0, 0.3])
+        assert back.kf_points.shape == s.kf_points.shape
+
+
 class TestDatasets:
     def test_manhattan_shapes(self):
         d = datasets.manhattan(n_poses=200, seed=1)
