@@ -115,16 +115,30 @@ def linearize_edges(
     xi = poses[edges[:, 0]]
     xj = poses[edges[:, 1]]
 
-    def lin_one(a, b, z):
-        def f(di, dj):
-            return _between_residual(g, g.retract(a, di), g.retract(b, dj), z)
+    if T == 3:
+        # Analytic SE(2) path (hot): r = Log(z^-1 h) with h = x_i^-1 x_j;
+        #   dr/d(delta_j) =  Jr^{-1}(r)
+        #   dr/d(delta_i) = -Jr^{-1}(r) Ad(h^-1)
+        # (right-perturbation chain rule; validated against jacfwd in
+        # tests/test_factors.py). Saves the 2T forward-mode passes.
+        h = se2.between(xi, xj)
+        r = se2.log(se2.between(measurements, h))
+        Jr_inv = se2.right_jacobian_inv(r)
+        Ad_hinv = se2.adjoint(se2.inverse(h))
+        Jj = Jr_inv
+        Ji = -jnp.einsum("eab,ebc->eac", Jr_inv, Ad_hinv)
+    else:
 
-        r = f(zeros, zeros)
-        Ji = jax.jacfwd(f, argnums=0)(zeros, zeros)
-        Jj = jax.jacfwd(f, argnums=1)(zeros, zeros)
-        return r, Ji, Jj
+        def lin_one(a, b, z):
+            def f(di, dj):
+                return _between_residual(g, g.retract(a, di), g.retract(b, dj), z)
 
-    r, Ji, Jj = jax.vmap(lin_one)(xi, xj, measurements)
+            r = f(zeros, zeros)
+            Ji = jax.jacfwd(f, argnums=0)(zeros, zeros)
+            Jj = jax.jacfwd(f, argnums=1)(zeros, zeros)
+            return r, Ji, Jj
+
+        r, Ji, Jj = jax.vmap(lin_one)(xi, xj, measurements)
 
     rw = jnp.einsum("eab,eb->ea", sqrt_info, r)
     Jiw = jnp.einsum("eab,ebc->eac", sqrt_info, Ji)
@@ -149,13 +163,18 @@ def linearize_priors(
     zeros = jnp.zeros((T,), poses.dtype)
     xp = poses[prior_idx]
 
-    def lin_prior(a, z):
-        def f(d):
-            return _prior_residual(g, g.retract(a, d), z)
+    if T == 3:
+        rp = se2.log(se2.between(prior_meas, xp))
+        Jp = se2.right_jacobian_inv(rp)
+    else:
 
-        return f(zeros), jax.jacfwd(f)(zeros)
+        def lin_prior(a, z):
+            def f(d):
+                return _prior_residual(g, g.retract(a, d), z)
 
-    rp, Jp = jax.vmap(lin_prior)(xp, prior_meas)
+            return f(zeros), jax.jacfwd(f)(zeros)
+
+        rp, Jp = jax.vmap(lin_prior)(xp, prior_meas)
     rpw = jnp.einsum("pab,pb->pa", prior_sqrt_info, rp)
     Jpw = jnp.einsum("pab,pbc->pac", prior_sqrt_info, Jp)
     pm = prior_mask[:, None].astype(poses.dtype)

@@ -96,6 +96,65 @@ def adjoint(p: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def _V_terms(w: jnp.ndarray):
+    """a = sin w / w, b = (1-cos w)/w and their w-derivatives (series-safe)."""
+    small = jnp.abs(w) < 1e-4
+    ws = jnp.where(small, 1.0, w)
+    half = ws / 2.0
+    a = jnp.where(small, 1.0 - w * w / 6.0, jnp.sin(ws) / ws)
+    b = jnp.where(small, w / 2.0 - w**3 / 24.0, 2.0 * jnp.sin(half) ** 2 / ws)
+    da = jnp.where(
+        small, -w / 3.0 + w**3 / 30.0, (ws * jnp.cos(ws) - jnp.sin(ws)) / (ws * ws)
+    )
+    db = jnp.where(
+        small,
+        0.5 - w * w / 8.0,
+        (ws * jnp.sin(ws) - 2.0 * jnp.sin(half) ** 2) / (ws * ws),
+    )
+    return a, b, da, db
+
+
+def left_jacobian_inv(xi: jnp.ndarray) -> jnp.ndarray:
+    """Inverse SE(2) left Jacobian, (..., 3, 3) — closed form.
+
+    Jl(xi) = [[V(w), D(xi)], [0, 1]] with V from `exp` and
+    D = V'(w) v - J V(w) v (J = 90-deg rotation), so
+    Jl^{-1} = [[V^{-1}, -V^{-1} D], [0, 1]]. Validated against jax.jacfwd in
+    tests/test_geometry.py.
+    """
+    v = xi[..., :2]
+    w = xi[..., 2]
+    a, b, da, db = _V_terms(w)
+    # V v and V' v
+    Vv_x = a * v[..., 0] - b * v[..., 1]
+    Vv_y = b * v[..., 0] + a * v[..., 1]
+    dVv_x = da * v[..., 0] - db * v[..., 1]
+    dVv_y = db * v[..., 0] + da * v[..., 1]
+    # D = V' v - J (V v); J (x, y) = (-y, x)
+    D_x = dVv_x + Vv_y
+    D_y = dVv_y - Vv_x
+    # V^{-1} = [[A, B], [-B, A]] (same as in `log`)
+    small = jnp.abs(w) < 1e-4
+    ws = jnp.where(small, 1.0, w)
+    halfs = ws / 2.0
+    A = jnp.where(small, 1.0 - w * w / 12.0, halfs * jnp.cos(halfs) / jnp.sin(halfs))
+    B = w / 2.0
+    # -V^{-1} D
+    E_x = -(A * D_x + B * D_y)
+    E_y = -(-B * D_x + A * D_y)
+    zero = jnp.zeros_like(w)
+    one = jnp.ones_like(w)
+    row0 = jnp.stack([A, B, E_x], axis=-1)
+    row1 = jnp.stack([-B, A, E_y], axis=-1)
+    row2 = jnp.stack([zero, zero, one], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def right_jacobian_inv(xi: jnp.ndarray) -> jnp.ndarray:
+    """Inverse SE(2) right Jacobian: Jr^{-1}(xi) = Jl^{-1}(-xi)."""
+    return left_jacobian_inv(-xi)
+
+
 def transform(p: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply pose p (..., 3) to points pts (..., N, 2) in p's frame."""
     return so2.rotate(p[..., None, 2], pts) + p[..., None, :2]

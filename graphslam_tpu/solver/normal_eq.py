@@ -147,12 +147,52 @@ def hvp(sys: BlockSystem, damped_diag: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     return out
 
 
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form cofactor inverse of batched 3x3 SPD blocks — pure
+    elementwise VPU work; the LAPACK-style batched Cholesky this replaces
+    dominated the whole PCG setup on TPU."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    row0 = jnp.stack([co00, co01, co02], axis=-1)
+    row1 = jnp.stack([co01, co11, co12], axis=-1)
+    row2 = jnp.stack([co02, co12, co22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+
+
 def _block_inv(blocks: jnp.ndarray) -> jnp.ndarray:
-    """Batched SPD TxT inverse via Cholesky (T = 3 or 6 — tiny, vmapped)."""
+    """Batched SPD TxT inverse: closed form for T=3; for T=6, blockwise
+    Schur complement built on the 3x3 closed form."""
     T = blocks.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(T, dtype=blocks.dtype), blocks.shape)
-    L = jnp.linalg.cholesky(blocks + 1e-8 * eye)
-    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    A = blocks + 1e-8 * eye
+    if T == 3:
+        return _inv3x3(A)
+    if T == 6:
+        # [[P, Q], [Q^T, S]]^-1 via Schur complement of S.
+        P = A[..., :3, :3]
+        Q = A[..., :3, 3:]
+        S = A[..., 3:, 3:]
+        S_inv = _inv3x3(S)
+        QSi = Q @ S_inv
+        schur = P - QSi @ jnp.swapaxes(Q, -1, -2)
+        TL = _inv3x3(schur)
+        TR = -TL @ QSi
+        BR = S_inv - jnp.swapaxes(QSi, -1, -2) @ TR
+        top = jnp.concatenate([TL, TR], axis=-1)
+        bottom = jnp.concatenate([jnp.swapaxes(TR, -1, -2), BR], axis=-1)
+        return jnp.concatenate([top, bottom], axis=-2)
+    L = jnp.linalg.cholesky(A)
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.broadcast_to(jnp.eye(T, dtype=A.dtype), A.shape), lower=True
+    )
     return jnp.einsum("nki,nkj->nij", Linv, Linv)
 
 
