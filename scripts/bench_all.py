@@ -1,0 +1,177 @@
+"""Full benchmark matrix (BASELINE.json configs) — writes JSON to stdout.
+
+Configs:
+  1. intel     — GN (dense Cholesky), ATE + iterations/s
+  2. m3500     — LM + Huber on loops (PCG), ATE + iterations/s
+  3. frontend  — simulated scans through the online pipeline, frames/s
+  4. city10000 — large 2D graph, PCG, iterations/s
+  5. sphere2500— SE(3), PCG, iterations/s
+  6. dist      — factor-sharded solver on all visible devices, scaling check
+
+Run on TPU (default platform) or CPU mesh:
+  python scripts/bench_all.py [--quick]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def sync(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+
+
+def time_fn(fn, *args, reps=3):
+    sync(fn(*args))  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def bench_posegraph(name, data, cfg, iters, lm=False):
+    from graphslam_tpu import metrics
+    from graphslam_tpu.factors import from_dataset, chi2
+    from graphslam_tpu.solver import lm_solve
+    from graphslam_tpu.solver.lm import _gn_loop, _solve_mode
+
+    graph = from_dataset(data)
+    poses0 = jnp.asarray(data["poses"])
+    gt = jnp.asarray(data["gt"])
+    mode = _solve_mode(cfg, poses0.shape[0])
+
+    out = lm_solve(poses0, graph, cfg)
+    ate = float(metrics.ate(out.poses, gt))
+    ate0 = float(metrics.ate(poses0, gt))
+
+    dt = time_fn(lambda p: _gn_loop(p, graph, cfg, mode, iters), poses0)
+    its = iters / dt
+    log(f"{name}: mode={mode} ATE {ate0:.3f}->{ate:.3f} "
+        f"chi2 {float(chi2(poses0, graph)):.0f}->{float(out.error):.0f} "
+        f"{its:.1f} it/s")
+    return {
+        "ate_init": round(ate0, 4),
+        "ate": round(ate, 4),
+        "chi2": round(float(out.error), 1),
+        "iterations_per_s": round(its, 2),
+        "mode": mode,
+    }
+
+
+def bench_frontend(quick):
+    from graphslam_tpu.config import FrontendConfig, SLAMConfig, SolverConfig
+    from graphslam_tpu.sim import simulate_trajectory
+    from graphslam_tpu.slam import make_slam_step, init_state
+
+    cfg = SLAMConfig(
+        max_keyframes=512,
+        max_factors=2048,
+        solver=SolverConfig(mode="pcg", cg_max_iterations=50),
+    )
+    sim = simulate_trajectory(cfg.frontend, step_len=0.25, seed=1)
+    scans = sim["scans"]
+    odom = sim["odom_deltas"]
+    n = 60 if quick else min(300, len(scans))
+
+    step = make_slam_step(cfg)
+    state = init_state(cfg)
+    zeros = jnp.zeros(3)
+    # Warm up / compile on the first scan.
+    state, _ = step(state, jnp.asarray(scans[0]), zeros)
+    sync(state.kf_poses)
+    t0 = time.perf_counter()
+    for t in range(1, n):
+        state, info = step(state, jnp.asarray(scans[t]), jnp.asarray(odom[t - 1]))
+    sync(state.kf_poses)
+    dt = time.perf_counter() - t0
+    fps = (n - 1) / dt
+    log(f"frontend: {fps:.1f} frames/s over {n-1} scans "
+        f"({int(state.num_kf)} keyframes, {int(state.num_factors)} factors)")
+    return {"frames_per_s": round(fps, 2), "keyframes": int(state.num_kf)}
+
+
+def bench_distributed(quick):
+    from graphslam_tpu.config import SolverConfig
+    from graphslam_tpu.factors import from_dataset
+    from graphslam_tpu.io import datasets
+    from graphslam_tpu.parallel import make_mesh, shard_graph, dist_gn_solve
+
+    data = datasets.m3500() if not quick else datasets.manhattan(1000, seed=5)
+    graph = from_dataset(data)
+    poses0 = jnp.asarray(data["poses"])
+    cfg = SolverConfig(mode="pcg", cg_max_iterations=50, cg_tol=1e-30)
+    iters = 10
+
+    results = {}
+    n_dev = len(jax.devices())
+    for nd in sorted({1, n_dev}):
+        mesh = make_mesh(num_devices=nd)
+        sharded = shard_graph(graph, mesh)
+        dt = time_fn(
+            lambda p: dist_gn_solve(p, sharded, mesh, cfg, iterations=iters), poses0
+        )
+        results[f"devices_{nd}"] = round(iters / dt, 2)
+        log(f"dist GN {nd} devices: {iters/dt:.1f} it/s")
+    if len(results) > 1:
+        eff = results[f"devices_{n_dev}"] / (results["devices_1"] * n_dev)
+        results["scaling_efficiency"] = round(eff, 3)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip", default="", help="comma-separated config names")
+    args = ap.parse_args()
+    skip = set(args.skip.split(","))
+
+    from graphslam_tpu.config import SolverConfig
+    from graphslam_tpu.io import datasets
+
+    out = {"devices": [str(d) for d in jax.devices()]}
+
+    if "intel" not in skip:
+        out["intel_gn_dense"] = bench_posegraph(
+            "intel", datasets.intel_like(),
+            SolverConfig(mode="dense", max_iterations=50), iters=10,
+        )
+    if "m3500" not in skip:
+        out["m3500_lm_huber"] = bench_posegraph(
+            "m3500", datasets.m3500(),
+            SolverConfig(mode="pcg", cg_max_iterations=50, use_huber_on_loops=True,
+                         max_iterations=80),
+            iters=25,
+        )
+    if "city10000" not in skip and not args.quick:
+        out["city10000_pcg"] = bench_posegraph(
+            "city10000", datasets.city10000(),
+            SolverConfig(mode="pcg", cg_max_iterations=100, max_iterations=100),
+            iters=10,
+        )
+    if "sphere2500" not in skip and not args.quick:
+        out["sphere2500_se3"] = bench_posegraph(
+            "sphere2500", datasets.sphere2500(),
+            SolverConfig(mode="pcg", cg_max_iterations=100, max_iterations=80),
+            iters=10,
+        )
+    if "frontend" not in skip:
+        out["frontend"] = bench_frontend(args.quick)
+    if "dist" not in skip:
+        out["distributed"] = bench_distributed(args.quick)
+
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
