@@ -39,9 +39,11 @@ class SolverConfig:
     rel_decrease_tol: float = 1e-6
     abs_decrease_tol: float = 1e-9
 
-    # PCG settings.
+    # PCG settings. preconditioner: "tridiag" (cyclic-reduction solve of the
+    # odometry-chain block-tridiagonal part — solver/tridiag.py) or "jacobi".
     cg_max_iterations: int = 250
     cg_tol: float = 1e-8
+    preconditioner: str = "tridiag"
 
     # Robust kernel on loop-closure edges (BASELINE config 2). delta is the
     # Huber transition point in units of whitened residual norm.

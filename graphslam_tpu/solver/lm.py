@@ -56,7 +56,12 @@ def _lm_step(poses, lam, err, graph, cfg: SolverConfig, mode: str):
     if mode == "dense":
         dx = dense_solve(sys, lam)
     else:
-        dx = pcg_solve(sys, lam, max_iters=cfg.cg_max_iterations, tol=cfg.cg_tol)
+        dx = pcg_solve(
+            sys, lam,
+            max_iters=cfg.cg_max_iterations,
+            tol=cfg.cg_tol,
+            preconditioner=cfg.preconditioner,
+        )
     candidate = _retract_all(poses, dx)
     new_err = chi2(
         candidate, graph, huber_delta=cfg.huber_delta, use_huber=cfg.use_huber_on_loops
@@ -128,6 +133,7 @@ def _gn_loop(poses0, graph, cfg: SolverConfig, mode: str, iterations: int):
                 jnp.asarray(0.0, poses.dtype),
                 max_iters=cfg.cg_max_iterations,
                 tol=cfg.cg_tol,
+                preconditioner=cfg.preconditioner,
             )
         return _retract_all(poses, dx), None
 
