@@ -100,11 +100,13 @@ def surfel_covs(points, mask, half_window: int, eps: float):
 
 
 def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(Na,2),(Nb,2) -> (Na,Nb) squared distances via the matmul identity."""
-    aa = jnp.sum(a * a, axis=-1)[:, None]
-    bb = jnp.sum(b * b, axis=-1)[None, :]
-    ab = a @ b.T  # MXU
-    return aa + bb - 2.0 * ab
+    """(Na,2),(Nb,2) -> (Na,Nb) squared distances, exact coordinate
+    differences. (The ||a||^2+||b||^2-2ab matmul identity runs at bf16 MXU
+    precision on TPU and can flip nearest neighbors between close scan
+    points — see ops/correspondence.py.)"""
+    dx = a[:, 0:1] - b[None, :, 0]
+    dy = a[:, 1:2] - b[None, :, 1]
+    return dx * dx + dy * dy
 
 
 @partial(

@@ -21,12 +21,16 @@ ROW_TILE = 128
 
 
 def nearest_neighbors_reference(src, tgt, tgt_valid):
-    """jnp reference: (P,2),(Q,2),(Q,) -> (nn_idx (P,), nn_d2 (P,))."""
-    d2 = (
-        jnp.sum(src * src, axis=-1)[:, None]
-        + jnp.sum(tgt * tgt, axis=-1)[None, :]
-        - 2.0 * src @ tgt.T
-    )
+    """jnp reference: (P,2),(Q,2),(Q,) -> (nn_idx (P,), nn_d2 (P,)).
+
+    Uses exact coordinate differences, NOT the ||a||^2+||b||^2-2ab matmul
+    identity: on TPU that matmul runs at bf16 MXU precision by default and
+    loses ~2 decimal digits (even producing negative distances), which is
+    enough to flip nearest-neighbor decisions between close points.
+    """
+    dx = src[:, 0:1] - tgt[None, :, 0]
+    dy = src[:, 1:2] - tgt[None, :, 1]
+    d2 = dx * dx + dy * dy
     d2 = jnp.where(tgt_valid[None, :], d2, jnp.inf)
     idx = jnp.argmin(d2, axis=1)
     return idx.astype(jnp.int32), jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
