@@ -95,15 +95,12 @@ def _damped_diag(sys: BlockSystem, lam: jnp.ndarray, lm_diag_scaling: bool):
 # ---------------------------------------------------------------------------
 
 
-def dense_solve(
+def assemble_dense(
     sys: BlockSystem,
     lam: jnp.ndarray,
     lm_diag_scaling: bool = True,
 ) -> jnp.ndarray:
-    """Assemble the full (N*T, N*T) damped Hessian and Cholesky-solve.
-
-    Returns dx (N, T) minimizing the damped quadratic model.
-    """
+    """Scatter the edge blocks into the full (N*T, N*T) damped Hessian."""
     N, T = sys.g.shape
     H = jnp.zeros((N, T, N, T), sys.g.dtype)
     i_idx, j_idx = sys.edges[:, 0], sys.edges[:, 1]
@@ -115,8 +112,20 @@ def dense_solve(
     idx = jnp.arange(N)
     H = H.at[idx, :, idx, :].set(_damped_diag(sys, lam, lm_diag_scaling))
     Hf = H.reshape(N * T, N * T)
-    # Cholesky solve; tiny jitter guards rank deficiency at lam -> 0.
-    Hf = Hf + 1e-10 * jnp.eye(N * T, dtype=Hf.dtype)
+    return Hf + 1e-10 * jnp.eye(N * T, dtype=Hf.dtype)
+
+
+def dense_solve(
+    sys: BlockSystem,
+    lam: jnp.ndarray,
+    lm_diag_scaling: bool = True,
+) -> jnp.ndarray:
+    """Assemble the full damped Hessian and Cholesky-solve.
+
+    Returns dx (N, T) minimizing the damped quadratic model.
+    """
+    N, T = sys.g.shape
+    Hf = assemble_dense(sys, lam, lm_diag_scaling)
     L = jnp.linalg.cholesky(Hf)
     rhs = -sys.g.reshape(N * T)
     y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
