@@ -114,7 +114,7 @@ def _priors_contrib(poses, pidx, pmeas, psq, pmask):
     return rp, gp, Ap
 
 
-def _pcg(edges, Aij, damped, Minv, b, axis, max_iters, tol):
+def _pcg(edges, Aij, damped, precond, b, axis, max_iters, tol):
     """Replicated-x PCG with sharded H@v. All devices hold identical x/r/p."""
     i_idx, j_idx = edges[:, 0], edges[:, 1]
 
@@ -124,9 +124,6 @@ def _pcg(edges, Aij, damped, Minv, b, axis, max_iters, tol):
         N, T = v.shape
         part = jnp.zeros((N, T), v.dtype).at[i_idx].add(yi).at[j_idx].add(yj)
         return jax.lax.psum(part, axis) + jnp.einsum("nij,nj->ni", damped, v)
-
-    def precond(r):
-        return jnp.einsum("nij,nj->ni", Minv, r)
 
     x = jnp.zeros_like(b)
     r = b - hv(x)
@@ -187,9 +184,30 @@ def _make_body(cfg: SolverConfig, axis: str, iterations: int, lm: bool):
             diag_all = diag_all.at[pidx].add(Ap)
             d = jnp.einsum("nii->ni", diag_all)
             damped = diag_all + lam * d[..., None] * eye
-            Minv = _block_inv(damped)
+            if cfg.preconditioner == "tridiag":
+                # Chain off-diagonal blocks assembled across shards with one
+                # more psum; each device then runs the identical (replicated)
+                # cyclic-reduction solve per CG iteration.
+                from graphslam_tpu.solver.tridiag import (
+                    cr_factor, cr_solve, chain_offdiag,
+                )
+
+                U = jax.lax.psum(
+                    chain_offdiag(edges, Aij, poses.shape[0]), axis
+                )
+                fac = cr_factor(damped, U)
+
+                def precond(r):
+                    return cr_solve(fac, r)
+
+            else:
+                Minv = _block_inv(damped)
+
+                def precond(r):
+                    return jnp.einsum("nij,nj->ni", Minv, r)
+
             dx = _pcg(
-                edges, Aij, damped, Minv, -g_all, axis,
+                edges, Aij, damped, precond, -g_all, axis,
                 cfg.cg_max_iterations, cfg.cg_tol,
             )
             candidate = _retract_all(poses, dx)
