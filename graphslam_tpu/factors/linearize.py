@@ -128,17 +128,13 @@ def linearize_edges(
         Jj = Jr_inv
         Ji = -jnp.einsum("eab,ebc->eac", Jr_inv, Ad_hinv)
     else:
-
-        def lin_one(a, b, z):
-            def f(di, dj):
-                return _between_residual(g, g.retract(a, di), g.retract(b, dj), z)
-
-            r = f(zeros, zeros)
-            Ji = jax.jacfwd(f, argnums=0)(zeros, zeros)
-            Jj = jax.jacfwd(f, argnums=1)(zeros, zeros)
-            return r, Ji, Jj
-
-        r, Ji, Jj = jax.vmap(lin_one)(xi, xj, measurements)
+        # Analytic SE(3): same chain rule with the Barfoot-Q Jacobian inverse.
+        h = se3.between(xi, xj)
+        r = se3.log(se3.between(measurements, h))
+        Jr_inv = se3.right_jacobian_inv(r)
+        Ad_hinv = se3.adjoint(se3.inverse(h))
+        Jj = Jr_inv
+        Ji = -jnp.einsum("eab,ebc->eac", Jr_inv, Ad_hinv)
 
     rw = jnp.einsum("eab,eb->ea", sqrt_info, r)
     Jiw = jnp.einsum("eab,ebc->eac", sqrt_info, Ji)
@@ -167,14 +163,8 @@ def linearize_priors(
         rp = se2.log(se2.between(prior_meas, xp))
         Jp = se2.right_jacobian_inv(rp)
     else:
-
-        def lin_prior(a, z):
-            def f(d):
-                return _prior_residual(g, g.retract(a, d), z)
-
-            return f(zeros), jax.jacfwd(f)(zeros)
-
-        rp, Jp = jax.vmap(lin_prior)(xp, prior_meas)
+        rp = se3.log(se3.between(prior_meas, xp))
+        Jp = se3.right_jacobian_inv(rp)
     rpw = jnp.einsum("pab,pb->pa", prior_sqrt_info, rp)
     Jpw = jnp.einsum("pab,pbc->pac", prior_sqrt_info, Jp)
     pm = prior_mask[:, None].astype(poses.dtype)

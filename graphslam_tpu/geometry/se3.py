@@ -96,3 +96,67 @@ def transform(p: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
 def renormalize(p: jnp.ndarray) -> jnp.ndarray:
     """Re-orthonormalize the rotation part (drift control for long runs)."""
     return make(so3.normalize(rot(p)), trans(p))
+
+
+def _Q_matrix(rho: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
+    """Barfoot's Q(rho, phi) — the translation-rotation coupling block of the
+    SE(3) left Jacobian (State Estimation for Robotics, eq. 7.86). Series-
+    safe: every theta-ratio switches to its Taylor form below 0.7 rad, where
+    the closed forms lose float32 digits to cancellation."""
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    theta = jnp.sqrt(theta2)
+    small = theta < 0.7
+    ts = jnp.where(small, 1.0, theta)
+
+    # c1 = (theta - sin)/theta^3
+    c1 = jnp.where(
+        small,
+        1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0,
+        (ts - jnp.sin(ts)) / ts**3,
+    )
+    # c2 = (1 - theta^2/2 - cos)/theta^4  (note: negative)
+    c2 = jnp.where(
+        small,
+        -1.0 / 24.0 + theta2 / 720.0 - theta2 * theta2 / 40320.0,
+        (1.0 - ts * ts / 2.0 - jnp.cos(ts)) / ts**4,
+    )
+    # c3i = (theta - sin - theta^3/6)/theta^5  (negative)
+    c3i = jnp.where(
+        small,
+        -1.0 / 120.0 + theta2 / 5040.0 - theta2 * theta2 / 362880.0,
+        (ts - jnp.sin(ts) - ts**3 / 6.0) / ts**5,
+    )
+
+    rx = so3.hat(rho)
+    px = so3.hat(phi)
+    pxrx = px @ rx
+    rxpx = rx @ px
+    pxrxpx = pxrx @ px
+
+    t1 = 0.5 * rx
+    t2 = c1[..., None, None] * (pxrx + rxpx + pxrxpx)
+    t3 = -c2[..., None, None] * (px @ pxrx + rxpx @ px - 3.0 * pxrxpx)
+    t4 = -0.5 * (c2 - 3.0 * c3i)[..., None, None] * (pxrxpx @ px + px @ pxrxpx)
+    return t1 + t2 + t3 + t4
+
+
+def left_jacobian_inv(xi: jnp.ndarray) -> jnp.ndarray:
+    """Inverse SE(3) left Jacobian (..., 6, 6) in [rho, phi] block order.
+
+    Jl = [[J, Q], [0, J]] with J the SO(3) left Jacobian, so
+    Jl^{-1} = [[J^{-1}, -J^{-1} Q J^{-1}], [0, J^{-1}]]. Validated against
+    jax.jacfwd in tests/test_factors.py.
+    """
+    rho, phi = xi[..., :3], xi[..., 3:6]
+    Jinv = so3.left_jacobian_inv(phi)
+    Q = _Q_matrix(rho, phi)
+    TR = -Jinv @ Q @ Jinv
+    zero = jnp.zeros_like(Jinv)
+    top = jnp.concatenate([Jinv, TR], axis=-1)
+    bottom = jnp.concatenate([zero, Jinv], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def right_jacobian_inv(xi: jnp.ndarray) -> jnp.ndarray:
+    """Inverse SE(3) right Jacobian: Jr^{-1}(xi) = Jl^{-1}(-xi)."""
+    return left_jacobian_inv(-xi)

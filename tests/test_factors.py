@@ -69,6 +69,47 @@ class TestSE2Jacobians:
         assert np.allclose(Ji, Ji2, atol=2e-4), np.abs(np.asarray(Ji - Ji2)).max()
         assert np.allclose(Jj, Jj2, atol=2e-4)
 
+    def test_se3_between_jacobians_match_jacfwd(self):
+        from graphslam_tpu.geometry import se3, so3
+
+        k1, k2, k3, k4 = jax.random.split(KEY, 4)
+        E = 12
+        w = 0.8 * jax.random.normal(k1, (2 * E, 3))
+        t = jax.random.normal(k2, (2 * E, 3))
+        poses = se3.make(so3.exp(w), t)
+        edges = jnp.stack([jnp.arange(E), jnp.arange(E, 2 * E)], axis=1).astype(
+            jnp.int32
+        )
+        meas = se3.exp(0.4 * jax.random.normal(k3, (E, 6)))
+        sqrt_info = jnp.broadcast_to(jnp.eye(6), (E, 6, 6))
+        mask = jnp.ones(E, bool)
+        is_loop = jnp.zeros(E, bool)
+
+        r, Ji, Jj = linearize_edges(poses, edges, meas, sqrt_info, mask, is_loop)
+
+        def resid(a, b, z):
+            return se3.log(se3.between(z, se3.between(a, b)))
+
+        def lin_ref(a, b, z):
+            zeros = jnp.zeros(6)
+            f = lambda di, dj: resid(se3.retract(a, di), se3.retract(b, dj), z)
+            return (
+                f(zeros, zeros),
+                jax.jacfwd(f, 0)(zeros, zeros),
+                jax.jacfwd(f, 1)(zeros, zeros),
+            )
+
+        r2, Ji2, Jj2 = jax.vmap(lin_ref)(poses[edges[:, 0]], poses[edges[:, 1]], meas)
+        assert np.allclose(r, r2, atol=1e-4)
+        assert np.allclose(Jj, Jj2, atol=5e-3), np.abs(np.asarray(Jj - Jj2)).max()
+        assert np.allclose(Ji, Ji2, atol=5e-3), np.abs(np.asarray(Ji - Ji2)).max()
+
+    def test_se3_jl_inv_identity_at_zero(self):
+        from graphslam_tpu.geometry import se3
+
+        J = se3.left_jacobian_inv(jnp.zeros(6))
+        assert np.allclose(J, np.eye(6), atol=1e-6)
+
     def test_prior_jacobians_match_jacfwd(self):
         k1, k2 = jax.random.split(KEY)
         P = 8
