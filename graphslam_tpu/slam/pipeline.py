@@ -247,6 +247,39 @@ def make_slam_step(cfg: SLAMConfig):
     return step
 
 
+def make_slam_replay(cfg: SLAMConfig, num_steps: int):
+    """Whole-replay version: one jitted lax.scan over all scans.
+
+    A single device dispatch for the full run — this is the honest frames/s
+    measurement path (the per-step driver pays a host round-trip per scan).
+    """
+    step = make_slam_step(cfg)
+    # Reuse the step's traced logic inside a scan; donate the state.
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def replay(state: SLAMState, scans: jnp.ndarray, odom: jnp.ndarray):
+        def body(s, inp):
+            ranges, od = inp
+            s, info = step.__wrapped__(s, ranges, od)
+            return s, info
+
+        return jax.lax.scan(body, state, (scans, odom), length=num_steps)
+
+    return replay
+
+
+def run_slam_scan(scans: np.ndarray, odom_deltas: Optional[np.ndarray], cfg: SLAMConfig):
+    """Replay the whole run in one on-device scan; returns (state, stacked infos)."""
+    T = scans.shape[0]
+    odom = np.zeros((T, 3), np.float32)
+    if odom_deltas is not None:
+        odom[1:] = odom_deltas[: T - 1]
+    replay = make_slam_replay(cfg, T)
+    state = init_state(cfg)
+    state, infos = replay(state, jnp.asarray(scans), jnp.asarray(odom))
+    return state, infos
+
+
 def run_slam(
     scans: np.ndarray,
     odom_deltas: Optional[np.ndarray],

@@ -12,6 +12,10 @@ Run on TPU (default platform) or CPU mesh:
   python scripts/bench_all.py [--quick]
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import sys
@@ -84,19 +88,21 @@ def bench_frontend(quick):
     odom = sim["odom_deltas"]
     n = 60 if quick else min(300, len(scans))
 
-    step = make_slam_step(cfg)
-    state = init_state(cfg)
-    zeros = jnp.zeros(3)
-    # Warm up / compile on the first scan.
-    state, _ = step(state, jnp.asarray(scans[0]), zeros)
+    from graphslam_tpu.slam.pipeline import make_slam_replay
+
+    replay = make_slam_replay(cfg, n)
+    scans_d = jnp.asarray(scans[:n])
+    odom_d = jnp.concatenate(
+        [jnp.zeros((1, 3)), jnp.asarray(odom[: n - 1])], axis=0
+    )
+    state, infos = replay(init_state(cfg), scans_d, odom_d)  # compile
     sync(state.kf_poses)
     t0 = time.perf_counter()
-    for t in range(1, n):
-        state, info = step(state, jnp.asarray(scans[t]), jnp.asarray(odom[t - 1]))
+    state, infos = replay(init_state(cfg), scans_d, odom_d)
     sync(state.kf_poses)
     dt = time.perf_counter() - t0
-    fps = (n - 1) / dt
-    log(f"frontend: {fps:.1f} frames/s over {n-1} scans "
+    fps = n / dt
+    log(f"frontend: {fps:.1f} frames/s over {n} scans "
         f"({int(state.num_kf)} keyframes, {int(state.num_factors)} factors)")
     return {"frames_per_s": round(fps, 2), "keyframes": int(state.num_kf)}
 

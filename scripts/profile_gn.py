@@ -5,6 +5,10 @@ loop-invariant hoisting) and whose output consumes every produced array
 (defeating DCE). Differences between stages give honest per-stage costs.
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import time
 
 import jax

@@ -10,6 +10,10 @@ Run: python scripts/teleop.py [--out /tmp/slam_map.png]
 Keys: i forward, , back, j/l turn, k stop, q/z speed up/down, Ctrl-C quit.
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import sys
 import termios

@@ -72,6 +72,26 @@ class TestClosedLoop:
         ate_dead = float(metrics.ate(jnp.asarray(dead[kf_steps]), jnp.asarray(ref)))
         assert ate < 0.5, f"SLAM ATE too high: {ate} (dead-reckoning {ate_dead})"
 
+    def test_scan_replay_matches_stepwise(self):
+        from graphslam_tpu.slam.pipeline import run_slam_scan
+
+        fcfg = FrontendConfig(num_beams=181, max_points=192, icp_iterations=12)
+        cfg = SLAMConfig(
+            max_keyframes=64, max_factors=256, frontend=fcfg,
+            solver=SolverConfig(mode="pcg", cg_max_iterations=25),
+        )
+        sim = simulate_trajectory(cfg.frontend, step_len=0.4, seed=3)
+        scans = sim["scans"][:40]
+        odom = sim["odom_deltas"][:39]
+        s1, _ = run_slam(scans, odom, cfg)
+        s2, infos = run_slam_scan(scans, odom, cfg)
+        assert int(s1.num_kf) == int(s2.num_kf)
+        assert int(s1.num_factors) == int(s2.num_factors)
+        n = int(s1.num_kf)
+        assert np.allclose(s1.kf_poses[:n], s2.kf_poses[:n], atol=1e-4)
+        # Stacked infos cover every step.
+        assert infos.is_keyframe.shape[0] == 40
+
     def test_first_frame_creates_keyframe(self):
         cfg = small_cfg()
         sim = simulate_trajectory(cfg.frontend, step_len=0.35, seed=3)
