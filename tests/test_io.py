@@ -86,6 +86,23 @@ class TestCheckpoint:
         assert back.kf_points.shape == s.kf_points.shape
 
 
+class TestLogs:
+    def test_roundtrip(self, tmp_path):
+        from graphslam_tpu.config import FrontendConfig
+        from graphslam_tpu.io.logs import save_log, load_log
+
+        cfg = FrontendConfig(num_beams=5)
+        scans = np.random.default_rng(0).uniform(0.1, 10.0, (7, 5)).astype(np.float32)
+        odom = np.zeros((6, 3), np.float32)
+        gt = np.zeros((7, 3), np.float32)
+        p = str(tmp_path / "run.npz")
+        save_log(p, scans, odom, gt, cfg)
+        back = load_log(p)
+        assert np.allclose(back["scans"], scans)
+        assert back["num_beams"] == 5
+        assert back["odom_deltas"].shape == (6, 3)
+
+
 class TestDatasets:
     def test_manhattan_shapes(self):
         d = datasets.manhattan(n_poses=200, seed=1)
