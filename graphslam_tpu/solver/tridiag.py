@@ -53,12 +53,24 @@ def _pad_blocks(x: jnp.ndarray, n: int, eye: bool = False) -> jnp.ndarray:
     return jnp.concatenate([x, pad], axis=0)
 
 
-def cr_factor(D: jnp.ndarray, U: jnp.ndarray) -> CRFactor:
+def _regularize(D: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Add eps * (trace/T) * I per block. The level-k Schur complements of a
+    barely-pinned chain approach singularity; float32 reduction order on TPU
+    can tip them indefinite and blow up the closed-form inverses. A relative
+    ridge keeps every level SPD at negligible cost to preconditioner quality
+    (this is a preconditioner — CG corrects any inexactness)."""
+    Tb = D.shape[-1]
+    tr = jnp.einsum("nii->n", D) / Tb
+    return D + (eps * jnp.abs(tr))[:, None, None] * jnp.eye(Tb, dtype=D.dtype)
+
+
+def cr_factor(D: jnp.ndarray, U: jnp.ndarray, eps: float = 3e-4) -> CRFactor:
     """Factor the block-tridiagonal (D (n,T,T), U (n-1,T,T)). Static-shape:
     the level structure is fixed by n at trace time."""
     levels: List[CRLevel] = []
     n = D.shape[0]
     Tb = D.shape[-1]
+    D = _regularize(D, eps)
     while n > 1:
         ne = (n + 1) // 2
         no = n // 2
@@ -78,10 +90,10 @@ def cr_factor(D: jnp.ndarray, U: jnp.ndarray) -> CRFactor:
 
         levels.append(CRLevel(Dinv_odd=Dinv_odd, UL=UL, UR=UR, DL=DL, DR=DR, Uo=Uo))
 
-        # Reduced system on the even blocks.
+        # Reduced system on the even blocks (re-regularized each level).
         leftC = jnp.einsum("nba,nbc,ncd->nad", UL, DL, UL)
         rightC = jnp.einsum("nab,nbc,ndc->nad", UR, DR, UR)
-        D = D_even - leftC - rightC
+        D = _regularize(D_even - leftC - rightC, eps)
         U = -jnp.einsum("nab,nbc,ncd->nad", UR, DR, Uo)[: ne - 1]
         n = ne
     return CRFactor(levels=tuple(levels), root_inv=_block_inv(D))

@@ -36,11 +36,23 @@ def test_cr_matches_dense(n):
     b = jnp.asarray(
         np.random.default_rng(100 + n).normal(size=(n, 3)).astype(np.float32)
     )
-    fac = cr_factor(D, U)
+    # eps=0: exact solve (the default eps>0 is a deliberate preconditioner
+    # ridge and only needs to be *approximately* T^-1).
+    fac = cr_factor(D, U, eps=0.0)
     x = cr_solve(fac, b)
     A = dense_from_tridiag(np.asarray(D), np.asarray(U))
     x_ref = np.linalg.solve(A, np.asarray(b, np.float64).reshape(-1)).reshape(n, 3)
     assert np.allclose(x, x_ref, rtol=2e-3, atol=2e-4), np.abs(x - x_ref).max()
+
+
+def test_cr_with_ridge_is_close():
+    D, U = random_spd_tridiag(64, seed=3)
+    b = jnp.ones((64, 3))
+    x0 = cr_solve(cr_factor(D, U, eps=0.0), b)
+    x1 = cr_solve(cr_factor(D, U), b)
+    # The default ridge perturbs the solve by O(eps * cond).
+    rel = float(jnp.linalg.norm(x1 - x0) / jnp.linalg.norm(x0))
+    assert rel < 0.05, rel
 
 
 def test_cr_jit_and_grad_safe():
