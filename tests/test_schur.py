@@ -1,0 +1,51 @@
+"""Partitioned Schur solver vs the dense reference solve."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphslam_tpu.factors import from_dataset, linearize
+from graphslam_tpu.io import datasets
+from graphslam_tpu.solver import build_blocks, dense_solve
+from graphslam_tpu.solver.schur import schur_plan, schur_solve
+
+
+@pytest.mark.parametrize("num_blocks", [2, 4, 7])
+def test_schur_matches_dense_se2(num_blocks):
+    data = datasets.manhattan(n_poses=120, seed=23)
+    graph = from_dataset(data)
+    poses = jnp.asarray(data["poses"])
+    lin = linearize(poses, graph)
+    sys = build_blocks(lin, graph, 120)
+    lam = jnp.asarray(1e-4)
+
+    dx_dense = dense_solve(sys, lam)
+    plan = schur_plan(np.asarray(graph.edges), 120, num_blocks)
+    assert plan.Q > 0
+    dx_schur = schur_solve(plan, sys, lam)
+    assert np.allclose(dx_schur, dx_dense, rtol=1e-2, atol=1e-3), (
+        np.abs(np.asarray(dx_schur - dx_dense)).max()
+    )
+
+
+def test_schur_matches_dense_se3():
+    data = datasets.sphere(n_rings=6, poses_per_ring=8, radius=4.0, seed=24)
+    graph = from_dataset(data)
+    n = data["poses"].shape[0]
+    poses = jnp.asarray(data["poses"])
+    lin = linearize(poses, graph)
+    sys = build_blocks(lin, graph, n)
+    lam = jnp.asarray(1e-3)
+    dx_dense = dense_solve(sys, lam)
+    plan = schur_plan(np.asarray(graph.edges), n, 3)
+    dx_schur = schur_solve(plan, sys, lam)
+    assert np.allclose(dx_schur, dx_dense, rtol=2e-2, atol=2e-3)
+
+
+def test_separator_is_small_for_banded_graph():
+    # sphere rings: only boundary rings become separators.
+    # 2 blocks of 5 rings: only the two rings at the cut are separators.
+    data = datasets.sphere(n_rings=10, poses_per_ring=10, radius=5.0, seed=25)
+    n = data["poses"].shape[0]
+    plan = schur_plan(np.asarray(data["edges"]), n, 2)
+    assert plan.Q < 0.3 * n, plan.Q
