@@ -42,6 +42,23 @@ def test_schur_matches_dense_se3():
     assert np.allclose(dx_schur, dx_dense, rtol=2e-2, atol=2e-3)
 
 
+def test_dist_schur_matches_single_device():
+    from graphslam_tpu.parallel import make_mesh
+    from graphslam_tpu.parallel.dist_schur import dist_schur_solve
+
+    data = datasets.manhattan(n_poses=160, seed=26)
+    graph = from_dataset(data)
+    poses = jnp.asarray(data["poses"])
+    lin = linearize(poses, graph)
+    sys = build_blocks(lin, graph, 160)
+    lam = jnp.asarray(1e-4)
+    plan = schur_plan(np.asarray(graph.edges), 160, 6)  # 6 blocks over 8 devices
+    single = schur_solve(plan, sys, lam)
+    mesh = make_mesh()
+    multi = dist_schur_solve(plan, sys, lam, mesh)
+    assert np.allclose(single, multi, rtol=1e-3, atol=1e-4)
+
+
 def test_separator_is_small_for_banded_graph():
     # sphere rings: only boundary rings become separators.
     # 2 blocks of 5 rings: only the two rings at the cut are separators.
