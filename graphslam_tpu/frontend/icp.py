@@ -111,7 +111,7 @@ def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("iterations", "half_window"),
+    static_argnames=("iterations", "half_window", "use_pallas"),
 )
 def gicp_match(
     src_pts: jnp.ndarray,
@@ -119,16 +119,24 @@ def gicp_match(
     tgt_pts: jnp.ndarray,
     tgt_mask: jnp.ndarray,
     init_delta: jnp.ndarray | None = None,
-    iterations: int = 32,
+    iterations: int = 16,
     max_corr_dist: float = 1.0,
     half_window: int = 4,
     gicp_eps: float = 1e-3,
     tol: float = 1e-5,
+    use_pallas: bool | None = None,
 ) -> MatchResult:
     """Estimate the SE(2) transform mapping source scan into the target
-    frame. Everything static-shape; masked points never contribute."""
+    frame. Everything static-shape; masked points never contribute.
+
+    use_pallas: fuse the correspondence search with the Pallas kernel
+    (ops/correspondence.py) — the (P, P) distance matrix never leaves VMEM.
+    None = auto (TPU yes, elsewhere no)."""
     dtype = src_pts.dtype
     delta0 = jnp.zeros(3, dtype) if init_delta is None else init_delta
+    if use_pallas is None:
+        # 'axon' is the tunneled-TPU platform in this environment.
+        use_pallas = jax.default_backend() in ("tpu", "axon")
 
     Ct = surfel_covs(tgt_pts, tgt_mask, half_window, gicp_eps)
     Cs = surfel_covs(src_pts, src_mask, half_window, gicp_eps)
@@ -138,10 +146,16 @@ def gicp_match(
 
     def step(delta, _):
         moved = se2.transform(delta, src_pts)
-        d2 = _pairwise_sqdist(moved, tgt_pts)
-        d2 = jnp.where(invalid_t[None, :], big, d2)
-        nn = jnp.argmin(d2, axis=1)
-        nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
+        if use_pallas:
+            from graphslam_tpu.ops.correspondence import nearest_neighbors
+
+            nn, nn_d2 = nearest_neighbors(moved, tgt_pts, tgt_mask)
+            nn_d2 = jnp.minimum(nn_d2, big)  # align no-valid-target semantics
+        else:
+            d2 = _pairwise_sqdist(moved, tgt_pts)
+            d2 = jnp.where(invalid_t[None, :], big, d2)
+            nn = jnp.argmin(d2, axis=1)
+            nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
         good = src_mask & (nn_d2 <= max_corr_dist**2)
         wv = jnp.where(good, 1.0, 0.0)
 
