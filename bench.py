@@ -57,8 +57,10 @@ def main():
     # Each iteration = full linearize (5k+ factors) + block normal equations
     # + PCG solve (<=50 inner iterations) + retract, all inside one jitted
     # lax.scan. Inputs are perturbed per repeat to defeat any call caching.
+    # cg=25 + the cyclic-reduction chain preconditioner reaches better
+    # per-iteration chi2 than jacobi/cg=50 at ~equal cost (RESULTS.md sweep).
     iters = 50
-    tcfg = SolverConfig(mode="pcg", cg_max_iterations=50, cg_tol=1e-7)
+    tcfg = SolverConfig(mode="pcg", cg_max_iterations=25, cg_tol=1e-7)
     sync(_gn_loop(poses0, graph, tcfg, "pcg", iters))  # compile + settle
 
     times = []

@@ -23,6 +23,25 @@ __version__ = "0.1.0"
 from graphslam_tpu import geometry  # noqa: F401
 from graphslam_tpu.config import (  # noqa: F401
     FrontendConfig,
+    MeshConfig,
     SLAMConfig,
     SolverConfig,
 )
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (keep bare import light)."""
+    import importlib
+
+    lazy = {
+        "from_dataset": ("graphslam_tpu.factors", "from_dataset"),
+        "lm_solve": ("graphslam_tpu.solver", "lm_solve"),
+        "gn_solve": ("graphslam_tpu.solver", "gn_solve"),
+        "run_slam": ("graphslam_tpu.slam", "run_slam"),
+        "load": ("graphslam_tpu.io.datasets", "load"),
+        "ate": ("graphslam_tpu.metrics", "ate"),
+    }
+    if name in lazy:
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'graphslam_tpu' has no attribute {name!r}")
