@@ -38,6 +38,10 @@ class StepInfo(NamedTuple):
     delta: jnp.ndarray
     num_kf: jnp.ndarray
     num_factors: jnp.ndarray
+    # Capacity exhaustion (preallocated arrays full): keyframe/factor commits
+    # stop rather than silently corrupting slots; the caller should
+    # checkpoint and restart with larger capacities (SLAMConfig).
+    at_capacity: jnp.ndarray
 
 
 def graph_view(state: SLAMState, cfg: SLAMConfig) -> FactorGraph:
@@ -150,7 +154,12 @@ def make_slam_step(cfg: SLAMConfig):
             | (jnp.linalg.norm(res.delta[0][:2]) > fcfg.keyframe_trans_threshold)
             | (jnp.abs(res.delta[0][2]) > fcfg.keyframe_rot_threshold)
         )
-        is_kf = first | (moved_enough & odo_ok)
+        # Capacity guard: stop committing when arrays are full (2 factor
+        # slots may be needed per keyframe: odometry + loop).
+        at_capacity = (state.num_kf >= state.kf_poses.shape[0]) | (
+            state.num_factors >= state.edges.shape[0] - 2
+        )
+        is_kf = (first | (moved_enough & odo_ok)) & ~at_capacity
 
         # When the match is unreliable, fall back to raw odometry for the
         # factor (the reference trusted a poor alignment — SURVEY.md §3.6.3).
@@ -241,6 +250,7 @@ def make_slam_step(cfg: SLAMConfig):
             delta=delta,
             num_kf=num_kf,
             num_factors=nf,
+            at_capacity=at_capacity,
         )
         return state, info
 

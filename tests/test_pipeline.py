@@ -92,6 +92,18 @@ class TestClosedLoop:
         # Stacked infos cover every step.
         assert infos.is_keyframe.shape[0] == 40
 
+    def test_capacity_guard(self):
+        fcfg = FrontendConfig(num_beams=181, max_points=192, icp_iterations=8)
+        cfg = SLAMConfig(
+            max_keyframes=4, max_factors=8, frontend=fcfg,
+            solver=SolverConfig(mode="pcg", cg_max_iterations=10),
+        )
+        sim = simulate_trajectory(cfg.frontend, step_len=0.4, seed=3)
+        state, infos = run_slam(sim["scans"][:60], sim["odom_deltas"][:59], cfg)
+        assert int(state.num_kf) <= 4
+        assert int(state.num_factors) <= 8
+        assert any(bool(i.at_capacity) for i in infos)
+
     def test_first_frame_creates_keyframe(self):
         cfg = small_cfg()
         sim = simulate_trajectory(cfg.frontend, step_len=0.35, seed=3)
