@@ -63,6 +63,21 @@ class TestDistributed:
         e1 = float(chi2(jnp.asarray(out), graph))
         assert e1 < 0.2 * e0
 
+    def test_deterministic_across_runs(self):
+        # The reference's 'race detection' story was single-threaded spins
+        # (SURVEY.md §5); ours is determinism by construction — identical
+        # inputs must give bitwise-identical results across runs, collectives
+        # included.
+        data = datasets.manhattan(n_poses=150, seed=15)
+        graph = from_dataset(data)
+        poses0 = jnp.asarray(data["poses"])
+        mesh = make_mesh()
+        sharded = shard_graph(graph, mesh)
+        cfg = SolverConfig(mode="pcg", cg_max_iterations=40)
+        a = np.asarray(dist_gn_solve(poses0, sharded, mesh, cfg, iterations=4))
+        b = np.asarray(dist_gn_solve(poses0, sharded, mesh, cfg, iterations=4))
+        assert np.array_equal(a, b)
+
     def test_edge_padding_is_harmless(self):
         # 7 edges over 8 devices forces padding; masked pads must not change
         # the solution.
