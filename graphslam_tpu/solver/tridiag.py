@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import List, NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from graphslam_tpu.solver.normal_eq import _block_inv
@@ -37,7 +38,8 @@ class CRLevel(NamedTuple):
 
 class CRFactor(NamedTuple):
     levels: Tuple[CRLevel, ...]
-    root_inv: jnp.ndarray  # (1, T, T)
+    root_chol: jnp.ndarray  # (m*T, m*T) lower Cholesky of the reduced system
+    root_n: int             # m = remaining block count at the root
 
 
 def _pad_blocks(x: jnp.ndarray, n: int, eye: bool = False) -> jnp.ndarray:
@@ -64,14 +66,21 @@ def _regularize(D: jnp.ndarray, eps: float) -> jnp.ndarray:
     return D + (eps * jnp.abs(tr))[:, None, None] * jnp.eye(Tb, dtype=D.dtype)
 
 
-def cr_factor(D: jnp.ndarray, U: jnp.ndarray, eps: float = 3e-4) -> CRFactor:
+def cr_factor(
+    D: jnp.ndarray, U: jnp.ndarray, eps: float = 3e-4, min_blocks: int = 64
+) -> CRFactor:
     """Factor the block-tridiagonal (D (n,T,T), U (n-1,T,T)). Static-shape:
-    the level structure is fixed by n at trace time."""
+    the level structure is fixed by n at trace time.
+
+    Reduction stops at `min_blocks` and the remaining small banded system is
+    Cholesky-factored densely — each CR level is a sequential dependency, so
+    trading the last ~6 levels for one tiny dense solve cuts the solve's
+    critical path roughly in half."""
     levels: List[CRLevel] = []
     n = D.shape[0]
     Tb = D.shape[-1]
     D = _regularize(D, eps)
-    while n > 1:
+    while n > min_blocks:
         ne = (n + 1) // 2
         no = n // 2
         D_even = D[0::2]                       # (ne, T, T)
@@ -96,7 +105,19 @@ def cr_factor(D: jnp.ndarray, U: jnp.ndarray, eps: float = 3e-4) -> CRFactor:
         D = _regularize(D_even - leftC - rightC, eps)
         U = -jnp.einsum("nab,nbc,ncd->nad", UR, DR, Uo)[: ne - 1]
         n = ne
-    return CRFactor(levels=tuple(levels), root_inv=_block_inv(D))
+
+    # Dense root: assemble the (n*T, n*T) banded system and Cholesky it.
+    m = n
+    A = jnp.zeros((m, Tb, m, Tb), D.dtype)
+    idx = jnp.arange(m)
+    A = A.at[idx, :, idx, :].set(D)
+    if m > 1:
+        i0 = jnp.arange(m - 1)
+        A = A.at[i0, :, i0 + 1, :].set(U)
+        A = A.at[i0 + 1, :, i0, :].set(jnp.swapaxes(U, -1, -2))
+    Af = A.reshape(m * Tb, m * Tb)
+    root_chol = jnp.linalg.cholesky(Af + 1e-8 * jnp.eye(m * Tb, dtype=D.dtype))
+    return CRFactor(levels=tuple(levels), root_chol=root_chol, root_n=m)
 
 
 def cr_solve(factor: CRFactor, b: jnp.ndarray) -> jnp.ndarray:
@@ -117,7 +138,10 @@ def cr_solve(factor: CRFactor, b: jnp.ndarray) -> jnp.ndarray:
             - jnp.einsum("nab,nbc,nc->na", lv.UR, lv.DR, bR)
         )
 
-    x = jnp.einsum("nab,nb->na", factor.root_inv, b)
+    bf = b.reshape(-1)
+    y = jax.scipy.linalg.solve_triangular(factor.root_chol, bf, lower=True)
+    xf = jax.scipy.linalg.solve_triangular(factor.root_chol.T, y, lower=False)
+    x = xf.reshape(factor.root_n, b.shape[-1])
 
     # Backward: recover odd blocks, interleave.
     for lv, b_odd in zip(reversed(factor.levels), reversed(odds)):
