@@ -26,7 +26,9 @@ class SolverConfig:
     """
 
     mode: str = "auto"
-    dense_threshold: int = 2048
+    # PCG beats dense well below this on TPU (dense pays serial triangular
+    # solves + full-Hessian assembly); dense remains for tiny graphs/tests.
+    dense_threshold: int = 512
 
     # Levenberg-Marquardt schedule (mirrors GTSAM's defaults closely enough to
     # hit the same optima: lambda up/down factors, initial lambda).

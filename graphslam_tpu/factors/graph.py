@@ -39,6 +39,12 @@ class FactorGraph:
     prior_sqrt_info: jnp.ndarray
     prior_mask: jnp.ndarray
 
+    # Static (trace-time) structure hint: the first `chain_prefix` edges are
+    # exactly (k, k+1) — the odometry chain. Their Hessian/gradient
+    # contributions assemble with static slice-adds instead of scatters
+    # (solver/normal_eq.py); 0 disables the fast path.
+    chain_prefix: int = struct.field(pytree_node=False, default=0)
+
     @property
     def num_edges(self) -> int:
         return self.edges.shape[0]
@@ -79,7 +85,14 @@ def from_dataset(
     prior_meas = np.asarray(data["poses"])[0:1]
     prior_info = np.eye(T)[None] / (prior_sigma**2)
 
+    # Longest leading run of consecutive (k, k+1) edges = the odometry chain.
+    is_chain = (edges[:, 1] == edges[:, 0] + 1) & (
+        edges[:, 0] == np.arange(E)
+    )
+    chain_prefix = int(np.argmin(is_chain)) if not is_chain.all() else E
+
     return FactorGraph(
+        chain_prefix=chain_prefix,
         edges=jnp.asarray(edges),
         measurements=jnp.asarray(meas, dtype),
         sqrt_info=jnp.asarray(_chol_info(info), dtype),

@@ -61,6 +61,7 @@ def _lm_step(poses, lam, err, graph, cfg: SolverConfig, mode: str):
             max_iters=cfg.cg_max_iterations,
             tol=cfg.cg_tol,
             preconditioner=cfg.preconditioner,
+            chain_prefix=graph.chain_prefix,
         )
     candidate = _retract_all(poses, dx)
     new_err = chi2(
@@ -134,6 +135,7 @@ def _gn_loop(poses0, graph, cfg: SolverConfig, mode: str, iterations: int):
                 max_iters=cfg.cg_max_iterations,
                 tol=cfg.cg_tol,
                 preconditioner=cfg.preconditioner,
+                chain_prefix=graph.chain_prefix,
             )
         return _retract_all(poses, dx), None
 

@@ -53,7 +53,8 @@ class BlockSystem(NamedTuple):
 def build_blocks(lin: Linearization, graph: FactorGraph, num_poses: int) -> BlockSystem:
     """Edge-block Hessian + gradient from a linearization. One shot of
     einsums and segment-sums — the vmapped replacement for GTSAM's
-    per-factor HessianFactor assembly."""
+    per-factor HessianFactor assembly. Chain-prefix edges (k, k+1) assemble
+    with static slice-adds; only the loop edges pay for a scatter."""
     Ji, Jj, r = lin.Ji, lin.Jj, lin.r
     Aii = jnp.einsum("eki,ekj->eij", Ji, Ji)
     Aij = jnp.einsum("eki,ekj->eij", Ji, Jj)
@@ -61,15 +62,19 @@ def build_blocks(lin: Linearization, graph: FactorGraph, num_poses: int) -> Bloc
     gi = jnp.einsum("eki,ek->ei", Ji, r)
     gj = jnp.einsum("eki,ek->ei", Jj, r)
 
-    i_idx = graph.edges[:, 0]
-    j_idx = graph.edges[:, 1]
     T = r.shape[-1]
+    c = min(graph.chain_prefix, num_poses - 1)
 
     g = jnp.zeros((num_poses, T), r.dtype)
-    g = g.at[i_idx].add(gi).at[j_idx].add(gj)
-
     diag = jnp.zeros((num_poses, T, T), r.dtype)
-    diag = diag.at[i_idx].add(Aii).at[j_idx].add(Ajj)
+    if c > 0:
+        g = g.at[:c].add(gi[:c]).at[1 : c + 1].add(gj[:c])
+        diag = diag.at[:c].add(Aii[:c]).at[1 : c + 1].add(Ajj[:c])
+    i_idx = graph.edges[c:, 0]
+    j_idx = graph.edges[c:, 1]
+    if i_idx.shape[0] > 0:
+        g = g.at[i_idx].add(gi[c:]).at[j_idx].add(gj[c:])
+        diag = diag.at[i_idx].add(Aii[c:]).at[j_idx].add(Ajj[c:])
 
     # Priors contribute only to the diagonal and gradient.
     Ap = jnp.einsum("pki,pkj->pij", lin.Jp, lin.Jp)
@@ -138,21 +143,29 @@ def dense_solve(
 # ---------------------------------------------------------------------------
 
 
-def hvp(sys: BlockSystem, damped_diag: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def hvp(
+    sys: BlockSystem,
+    damped_diag: jnp.ndarray,
+    v: jnp.ndarray,
+    chain_prefix: int = 0,
+) -> jnp.ndarray:
     """(H + damping) @ v without materializing H.
 
-    Gathers endpoint tangents, multiplies the TxT edge blocks, scatter-adds
-    back — three batched einsums + two scatters, all static shapes.
+    Chain-prefix edges contribute through shifted slices (scatter-free);
+    remaining (loop) edges gather endpoint tangents, multiply the TxT edge
+    blocks, and scatter-add back.
     """
-    i_idx, j_idx = sys.edges[:, 0], sys.edges[:, 1]
-    vi = v[i_idx]
-    vj = v[j_idx]
-    # Off-diagonal contributions (diagonal handled via damped_diag).
-    yi = jnp.einsum("eij,ej->ei", sys.Aij, vj)
-    yj = jnp.einsum("eji,ej->ei", sys.Aij, vi)  # Aij^T vi
     out = jnp.einsum("nij,nj->ni", damped_diag, v)
-    out = out.at[i_idx].add(yi)
-    out = out.at[j_idx].add(yj)
+    c = min(chain_prefix, v.shape[0] - 1)
+    if c > 0:
+        A = sys.Aij[:c]
+        out = out.at[:c].add(jnp.einsum("eij,ej->ei", A, v[1 : c + 1]))
+        out = out.at[1 : c + 1].add(jnp.einsum("eji,ej->ei", A, v[:c]))
+    i_idx, j_idx = sys.edges[c:, 0], sys.edges[c:, 1]
+    if i_idx.shape[0] > 0:
+        Al = sys.Aij[c:]
+        out = out.at[i_idx].add(jnp.einsum("eij,ej->ei", Al, v[j_idx]))
+        out = out.at[j_idx].add(jnp.einsum("eji,ej->ei", Al, v[i_idx]))
     return out
 
 
@@ -205,7 +218,10 @@ def _block_inv(blocks: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("nki,nkj->nij", Linv, Linv)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "lm_diag_scaling", "preconditioner"))
+@partial(
+    jax.jit,
+    static_argnames=("max_iters", "lm_diag_scaling", "preconditioner", "chain_prefix"),
+)
 def pcg_solve(
     sys: BlockSystem,
     lam: jnp.ndarray,
@@ -213,6 +229,7 @@ def pcg_solve(
     tol: float = 1e-8,
     lm_diag_scaling: bool = True,
     preconditioner: str = "tridiag",
+    chain_prefix: int = 0,
     x0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Preconditioned CG on (H + damping) dx = -g.
@@ -243,7 +260,7 @@ def pcg_solve(
             return jnp.einsum("nij,nj->ni", Minv, r)
 
     x = jnp.zeros_like(b) if x0 is None else x0
-    r = b - hvp(sys, damped, x)
+    r = b - hvp(sys, damped, x, chain_prefix)
     z = precond(r)
     p = z
     rz = jnp.vdot(r, z)
@@ -256,7 +273,7 @@ def pcg_solve(
 
     def body(state):
         x, r, p, rz, k = state
-        Ap = hvp(sys, damped, p)
+        Ap = hvp(sys, damped, p, chain_prefix)
         alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
         x = x + alpha * p
         r = r - alpha * Ap

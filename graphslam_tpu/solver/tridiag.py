@@ -38,7 +38,9 @@ class CRLevel(NamedTuple):
 
 class CRFactor(NamedTuple):
     levels: Tuple[CRLevel, ...]
-    root_chol: jnp.ndarray  # (m*T, m*T) lower Cholesky of the reduced system
+    root_inv: jnp.ndarray   # (m*T, m*T) explicit inverse of the reduced
+                            # system — applied as one matmul (triangular
+                            # solves are serial/latency-bound on TPU)
     root_n: int             # m = remaining block count at the root
 
 
@@ -116,8 +118,8 @@ def cr_factor(
         A = A.at[i0, :, i0 + 1, :].set(U)
         A = A.at[i0 + 1, :, i0, :].set(jnp.swapaxes(U, -1, -2))
     Af = A.reshape(m * Tb, m * Tb)
-    root_chol = jnp.linalg.cholesky(Af + 1e-8 * jnp.eye(m * Tb, dtype=D.dtype))
-    return CRFactor(levels=tuple(levels), root_chol=root_chol, root_n=m)
+    root_inv = jnp.linalg.inv(Af + 1e-8 * jnp.eye(m * Tb, dtype=D.dtype))
+    return CRFactor(levels=tuple(levels), root_inv=root_inv, root_n=m)
 
 
 def cr_solve(factor: CRFactor, b: jnp.ndarray) -> jnp.ndarray:
@@ -138,10 +140,7 @@ def cr_solve(factor: CRFactor, b: jnp.ndarray) -> jnp.ndarray:
             - jnp.einsum("nab,nbc,nc->na", lv.UR, lv.DR, bR)
         )
 
-    bf = b.reshape(-1)
-    y = jax.scipy.linalg.solve_triangular(factor.root_chol, bf, lower=True)
-    xf = jax.scipy.linalg.solve_triangular(factor.root_chol.T, y, lower=False)
-    x = xf.reshape(factor.root_n, b.shape[-1])
+    x = (factor.root_inv @ b.reshape(-1)).reshape(factor.root_n, b.shape[-1])
 
     # Backward: recover odd blocks, interleave.
     for lv, b_odd in zip(reversed(factor.levels), reversed(odds)):

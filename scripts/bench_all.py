@@ -148,9 +148,9 @@ def main():
     out = {"devices": [str(d) for d in jax.devices()]}
 
     if "intel" not in skip:
-        out["intel_gn_dense"] = bench_posegraph(
+        out["intel_gn"] = bench_posegraph(
             "intel", datasets.intel_like(),
-            SolverConfig(mode="dense", max_iterations=50), iters=10,
+            SolverConfig(mode="auto", max_iterations=50), iters=10,
         )
     if "m3500" not in skip:
         out["m3500_lm_huber"] = bench_posegraph(
