@@ -190,11 +190,19 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def _block_inv(blocks: jnp.ndarray) -> jnp.ndarray:
-    """Batched SPD TxT inverse: closed form for T=3; for T=6, blockwise
+    """Batched SPD TxT inverse: closed forms for T=2/3; for T=6, blockwise
     Schur complement built on the 3x3 closed form."""
     T = blocks.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(T, dtype=blocks.dtype), blocks.shape)
     A = blocks + 1e-8 * eye
+    if T == 2:
+        a, b = A[..., 0, 0], A[..., 0, 1]
+        c, d = A[..., 1, 0], A[..., 1, 1]
+        det = a * d - b * c
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+        row0 = jnp.stack([d, -b], axis=-1)
+        row1 = jnp.stack([-c, a], axis=-1)
+        return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
     if T == 3:
         return _inv3x3(A)
     if T == 6:
