@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--cg-iters", type=int, default=100)
     ap.add_argument("--huber", action="store_true")
     ap.add_argument("--precond", default="tridiag", choices=["tridiag", "jacobi"])
+    ap.add_argument(
+        "--init", default="dataset", choices=["dataset", "chordal"],
+        help="initial guess: dataset poses or SE(2) chordal bootstrap",
+    )
     ap.add_argument("--out", help="write optimized graph to this g2o path")
     ap.add_argument("--plot", help="write trajectory plot to this png path")
     args = ap.parse_args()
@@ -39,6 +43,13 @@ def main():
     data = datasets.load(args.dataset)
     graph = from_dataset(data)
     poses0 = jnp.asarray(data["poses"])
+    if args.init == "chordal":
+        if data["dim"] != 2:
+            print("chordal init is SE(2)-only for now", file=sys.stderr)
+            sys.exit(2)
+        from graphslam_tpu.solver.init import chordal_init_se2
+
+        poses0 = chordal_init_se2(graph, poses0.shape[0])
     cfg = SolverConfig(
         mode=args.mode,
         max_iterations=args.iters,
