@@ -65,6 +65,28 @@ def _chol_info(info: np.ndarray) -> np.ndarray:
     return np.swapaxes(L, -1, -2)
 
 
+def _chain_reorder(edges: np.ndarray, n_poses: int):
+    """Permutation putting one (k, k+1) edge at position k for the longest
+    possible k-run (the odometry chain), remaining edges after — enabling the
+    solver's scatter-free chain fast path on arbitrarily-ordered (real g2o)
+    edge lists. Returns (perm, chain_prefix)."""
+    E = edges.shape[0]
+    slot = {}
+    for e in range(E):
+        i, j = int(edges[e, 0]), int(edges[e, 1])
+        if j == i + 1 and i not in slot:
+            slot[i] = e
+    prefix = []
+    for k in range(n_poses - 1):
+        if k in slot:
+            prefix.append(slot[k])
+        else:
+            break
+    chain = set(prefix)
+    rest = [e for e in range(E) if e not in chain]
+    return np.asarray(prefix + rest, np.int64), len(prefix)
+
+
 def from_dataset(
     data: Dict[str, np.ndarray],
     prior_sigma: float = 0.1,
@@ -81,15 +103,16 @@ def from_dataset(
         data.get("is_loop", edges[:, 1] != edges[:, 0] + 1), bool
     )
 
+    n_poses = np.asarray(data["poses"]).shape[0]
+    perm, chain_prefix = _chain_reorder(edges, n_poses)
+    edges = edges[perm]
+    meas = meas[perm]
+    info = info[perm]
+    is_loop = is_loop[perm]
+
     prior_idx = np.zeros((1,), np.int32)
     prior_meas = np.asarray(data["poses"])[0:1]
     prior_info = np.eye(T)[None] / (prior_sigma**2)
-
-    # Longest leading run of consecutive (k, k+1) edges = the odometry chain.
-    is_chain = (edges[:, 1] == edges[:, 0] + 1) & (
-        edges[:, 0] == np.arange(E)
-    )
-    chain_prefix = int(np.argmin(is_chain)) if not is_chain.all() else E
 
     return FactorGraph(
         chain_prefix=chain_prefix,
