@@ -132,8 +132,21 @@ def left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
 
 def normalize(R: jnp.ndarray) -> jnp.ndarray:
     """Project a near-rotation back onto SO(3) (SVD-free Gram-Schmidt-ish:
-    one Newton step of the polar decomposition — cheap and vmappable)."""
+    one Newton step of the polar decomposition — cheap and vmappable).
+    Only valid for small perturbations; use `project` for arbitrary 3x3s."""
     # R <- R (3I - R^T R)/2 : quadratic convergence to the polar factor.
     RtR = jnp.swapaxes(R, -1, -2) @ R
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
     return R @ (1.5 * eye - 0.5 * RtR)
+
+
+def project(M: jnp.ndarray) -> jnp.ndarray:
+    """Nearest rotation (Frobenius) to an arbitrary 3x3: SVD projection
+    U diag(1, 1, det(U V^T)) V^T. Batched; used by chordal initialization
+    where the linear estimate can be far from orthonormal."""
+    U, _, Vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.concatenate(
+        [jnp.ones((*det.shape, 2), M.dtype), det[..., None]], axis=-1
+    )
+    return (U * D[..., None, :]) @ Vt

@@ -1,4 +1,4 @@
-"""Chordal initialization for SE(2) pose graphs.
+"""Chordal initialization for SE(2) and SE(3) pose graphs.
 
 Odometry-integrated initial guesses accumulate unbounded heading drift; when
 it exceeds ~90 deg, Gauss-Newton basins stop containing the global optimum.
@@ -17,10 +17,11 @@ chain preconditioner) at T=2 — the pipeline stays matrix-free and jitted.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from graphslam_tpu.factors.graph import FactorGraph
-from graphslam_tpu.geometry import so2
+from graphslam_tpu.geometry import se3, so2, so3
 from graphslam_tpu.solver.normal_eq import BlockSystem, pcg_solve
 
 
@@ -30,11 +31,11 @@ def _linear_system(
     """Normal equations for  sum_e ||G_e x_i - x_j - rhs_e||^2  with an
     anchor on node 0, phrased as a BlockSystem (T=2) for pcg_solve.
 
-    For edge e: Ji = G_e, Jj = -I, r0_e = -rhs_e (residual at x=0). Returns
-    (sys, base) so that x = base + dx with dx from pcg (we solve from x=0,
-    so base is zero; rhs folds the measured part)."""
+    For edge e: Ji = G_e, Jj = -I, r0_e = -rhs_e (residual at x=0); solving
+    the normal equations from x=0 gives the global optimum of the linear
+    problem directly. Works for any block size T."""
     E = edges.shape[0]
-    T = 2
+    T = G_blocks.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(T, dtype=G_blocks.dtype), (E, T, T))
     Ji = G_blocks * w[:, None, None]
     Jj = -eye * w[:, None, None]
@@ -98,3 +99,57 @@ def chordal_init_se2(graph: FactorGraph, num_poses: int, cg_iters: int = 150):
         chain_prefix=graph.chain_prefix,
     )
     return jnp.concatenate([t, theta[:, None]], axis=-1)
+
+
+def chordal_init_se3(graph: FactorGraph, num_poses: int, cg_iters: int = 150):
+    """Initial SE(3) poses (N, 12) from the chordal bootstrap.
+
+    Rotations: R_j ~ R_i Rz means each ROW of R satisfies row_j = Rz^T row_i
+    — three INDEPENDENT T=3 linear problems (solved as one vmap) followed by
+    a polar projection back onto SO(3). Translations: t_j ~ t_i + R_i t_z is
+    linear given rotations."""
+    z = graph.measurements
+    w = jnp.where(graph.edge_mask, 1.0, 0.0)
+    edges = graph.edges
+    Rz = se3.rot(z)
+    tz = se3.trans(z)
+    dt = z.dtype
+
+    # --- rotations: one T=3 system per row of R, vmapped over rows --------
+    G = jnp.swapaxes(Rz, -1, -2)  # row_j = Rz^T row_i
+    rhs0 = jnp.zeros((edges.shape[0], 3), dt)
+    anchors = jnp.eye(3, dtype=dt)  # rows of R_0 = I
+
+    def solve_row(anchor_val):
+        sys = _linear_system(
+            edges, G, rhs0, num_poses,
+            anchor_val=anchor_val, anchor_w=100.0,
+            chain_prefix=graph.chain_prefix, w=w,
+        )
+        return pcg_solve(
+            sys, jnp.asarray(0.0, dt),
+            max_iters=cg_iters, tol=1e-8,
+            lm_diag_scaling=False, preconditioner="tridiag",
+            chain_prefix=graph.chain_prefix,
+        )
+
+    rows = jax.vmap(solve_row)(anchors)          # (3, N, 3)
+    R_raw = jnp.transpose(rows, (1, 0, 2))       # (N, 3, 3) rows stacked
+    R = so3.project(R_raw)                       # SVD projection onto SO(3)
+
+    # --- translations ------------------------------------------------------
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dt), (edges.shape[0], 3, 3))
+    Ri = R[edges[:, 0]]
+    rhs_t = -(Ri @ tz[..., None])[..., 0] * w[:, None]
+    sys_t = _linear_system(
+        edges, eye3, rhs_t, num_poses,
+        anchor_val=jnp.zeros(3, dt), anchor_w=100.0,
+        chain_prefix=graph.chain_prefix, w=w,
+    )
+    t = pcg_solve(
+        sys_t, jnp.asarray(0.0, dt),
+        max_iters=cg_iters, tol=1e-8,
+        lm_diag_scaling=False, preconditioner="tridiag",
+        chain_prefix=graph.chain_prefix,
+    )
+    return se3.make(R, t)

@@ -49,6 +49,26 @@ def test_chordal_rescues_lm():
     assert ate < 0.25 * ate0, (ate, ate0)
 
 
+def test_chordal_se3_beats_odometry_init():
+    from graphslam_tpu.solver.init import chordal_init_se3
+
+    data = datasets.sphere(
+        n_rings=15, poses_per_ring=15, radius=8.0, rot_sigma=0.05, seed=35
+    )
+    n = data["poses"].shape[0]
+    graph = from_dataset(data)
+    gt = jnp.asarray(data["gt"])
+    odo = jnp.asarray(data["poses"])
+    chordal = chordal_init_se3(graph, n)
+    ate_odo = float(metrics.ate(odo, gt))
+    ate_ch = float(metrics.ate(chordal, gt))
+    assert ate_ch < 0.7 * ate_odo, (ate_ch, ate_odo)
+    # Rotations are valid after projection.
+    R = chordal[:, :9].reshape(n, 3, 3)
+    RtR = np.einsum("nji,njk->nik", np.asarray(R), np.asarray(R))
+    assert np.allclose(RtR, np.eye(3)[None], atol=1e-3)
+
+
 def test_chordal_exact_on_noiseless_chain():
     # With exact measurements the linear bootstrap is exact (up to float32).
     data = datasets.manhattan(n_poses=120, rot_sigma=1e-9, trans_sigma=1e-9, seed=33)
