@@ -15,3 +15,10 @@ from graphslam_tpu.solver.normal_eq import (  # noqa: F401
     pcg_solve,
     BlockSystem,
 )
+from graphslam_tpu.solver.init import chordal_init_se2, chordal_init_se3  # noqa: F401
+from graphslam_tpu.solver.schur import schur_plan, schur_solve  # noqa: F401
+from graphslam_tpu.solver.marginals import (  # noqa: F401
+    marginal_covariances_dense,
+    marginal_covariance_cg,
+)
+from graphslam_tpu.solver.tridiag import cr_factor, cr_solve  # noqa: F401
