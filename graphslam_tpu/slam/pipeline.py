@@ -22,7 +22,6 @@ import numpy as np
 
 from graphslam_tpu.config import SLAMConfig
 from graphslam_tpu.factors.graph import FactorGraph
-from graphslam_tpu.factors.linearize import chi2
 from graphslam_tpu.frontend.icp import gicp_match
 from graphslam_tpu.frontend.keyframes import motion_covariance
 from graphslam_tpu.frontend.projection import beam_angles, scan_to_points
