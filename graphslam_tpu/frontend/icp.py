@@ -43,6 +43,10 @@ class MatchResult(NamedTuple):
     matched_frac: jnp.ndarray # () fraction of source points with a match
     converged: jnp.ndarray    # () bool: final GN update below tolerance
     mahal_rmse: jnp.ndarray   # () sqrt(mean Mahalanobis residual)
+    degenerate: jnp.ndarray   # () bool: the 3x3 GN Hessian is rank-deficient
+                              #    (corridor case: translation along the wall
+                              #    unobservable — the delta slides freely and
+                              #    must not be trusted as a factor)
 
 
 def estimate_normals(points: jnp.ndarray, mask: jnp.ndarray, half_window: int):
@@ -99,6 +103,22 @@ def surfel_covs(points, mask, half_window: int, eps: float):
     return C
 
 
+def _sym3x3_eigvals(A: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvalues of a symmetric 3x3 (ascending), closed trigonometric form
+    (Smith's algorithm) — branch-free, works under jit/vmap."""
+    q = jnp.trace(A) / 3.0
+    B = A - q * jnp.eye(3, dtype=A.dtype)
+    p2 = jnp.sum(B * B) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = jnp.linalg.det(B / p)
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    return jnp.stack([e3, e2, e1])
+
+
 def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(Na,2),(Nb,2) -> (Na,Nb) squared distances, exact coordinate
     differences. (The ||a||^2+||b||^2-2ab matmul identity runs at bf16 MXU
@@ -124,6 +144,7 @@ def gicp_match(
     half_window: int = 4,
     gicp_eps: float = 1e-3,
     tol: float = 1e-5,
+    degeneracy_ratio: float = 1e-3,
     use_pallas: bool | None = None,
 ) -> MatchResult:
     """Estimate the SE(2) transform mapping source scan into the target
@@ -189,13 +210,18 @@ def gicp_match(
             jnp.sum(wv),
             jnp.sum(jnp.einsum("na,nab,nb->n", e, M, e) * wv),
             jnp.linalg.norm(upd),
+            H,
         )
         return new_delta, stats
 
     delta, stats = jax.lax.scan(step, delta0, None, length=iterations)
-    sum_d2_all, sum_d2, n_match, sum_mahal, last_upd = jax.tree_util.tree_map(
-        lambda x: x[-1], stats
+    sum_d2_all, sum_d2, n_match, sum_mahal, last_upd, H_last = (
+        jax.tree_util.tree_map(lambda x: x[-1], stats)
     )
+    # Degeneracy: normalize the translation block's scale against rotation
+    # (units differ); compare the smallest Hessian eigenvalue to the largest.
+    eigs = _sym3x3_eigvals(H_last)
+    degenerate = eigs[0] < degeneracy_ratio * eigs[2]
     n_src = jnp.maximum(jnp.sum(jnp.where(src_mask, 1.0, 0.0)), 1.0)
     n_safe = jnp.maximum(n_match, 1.0)
     return MatchResult(
@@ -205,4 +231,5 @@ def gicp_match(
         matched_frac=n_match / n_src,
         converged=last_upd < tol,
         mahal_rmse=jnp.sqrt(sum_mahal / n_safe),
+        degenerate=degenerate,
     )

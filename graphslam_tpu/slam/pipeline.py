@@ -139,12 +139,14 @@ def make_slam_step(cfg: SLAMConfig):
             res.converged[0]
             & (res.matched_frac[0] > 0.5)
             & (res.inlier_rms[0] < fcfg.max_match_rmse)
+            & ~res.degenerate[0]
         )
         loop_delta = res.delta[1]
         loop_ok = (
             res.converged[1]
             & (res.matched_frac[1] > 0.5)
             & (res.inlier_rms[1] < fcfg.max_match_rmse)
+            & ~res.degenerate[1]
         )
 
         # --- keyframe decision (reference motion gate + our quality gate) ---

@@ -100,6 +100,25 @@ class TestGICP:
         assert np.allclose(res.delta[1], 0.0, atol=1e-4)
 
 
+class TestDegeneracy:
+    def test_corridor_is_degenerate(self):
+        # Two infinite parallel walls: translation along the corridor is
+        # unobservable — the matcher must flag it.
+        xs = jnp.linspace(-10.0, 10.0, 180)
+        top = jnp.stack([xs, jnp.full_like(xs, 1.5)], -1)
+        bot = jnp.stack([xs, jnp.full_like(xs, -1.5)], -1)
+        pts = jnp.concatenate([top, bot])
+        mask = jnp.ones(360, bool)
+        res = gicp_match(pts, mask, pts, mask, iterations=8)
+        assert bool(res.degenerate)
+
+    def test_room_is_not_degenerate(self):
+        pose = jnp.array([-7.0, -5.0, 0.3])
+        pts, mask = scan_at(pose)
+        res = gicp_match(pts, mask, pts, mask, iterations=8)
+        assert not bool(res.degenerate)
+
+
 class TestMotionCovariance:
     def test_scaling(self):
         cfg = FrontendConfig()
