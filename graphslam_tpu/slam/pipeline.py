@@ -291,6 +291,31 @@ def run_slam_scan(scans: np.ndarray, odom_deltas: Optional[np.ndarray], cfg: SLA
     return state, infos
 
 
+def run_slam_from_twists(
+    scans: np.ndarray,
+    twists: np.ndarray,
+    dt: float,
+    cfg: SLAMConfig,
+):
+    """Replay driver fed by body twists (the /cmd_vel path): integrates each
+    twist through the odometry motion model (slam/odometry.py — the dead
+    odometry node's intended role, SURVEY.md §3.4) and feeds the resulting
+    deltas to the SLAM step."""
+    from graphslam_tpu.slam.odometry import init_buffer, integrate_twist
+
+    buf = init_buffer()
+    deltas = []
+    prev = buf.pose
+    for t in range(1, scans.shape[0]):
+        buf = integrate_twist(
+            buf, jnp.asarray(twists[t - 1]), jnp.float32(dt), jnp.float32(t * dt),
+            cfg.frontend,
+        )
+        deltas.append(np.asarray(se2.between(prev, buf.pose)))
+        prev = buf.pose
+    return run_slam(scans, np.asarray(deltas), cfg)
+
+
 def run_slam(
     scans: np.ndarray,
     odom_deltas: Optional[np.ndarray],

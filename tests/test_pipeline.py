@@ -92,6 +92,33 @@ class TestClosedLoop:
         # Stacked infos cover every step.
         assert infos.is_keyframe.shape[0] == 40
 
+    def test_twist_driven_replay(self):
+        from graphslam_tpu.geometry import se2
+        from graphslam_tpu.slam.pipeline import run_slam_from_twists
+        from graphslam_tpu.sim import default_world, raycast
+        from graphslam_tpu.frontend.projection import beam_angles
+
+        fcfg = FrontendConfig(num_beams=181, max_points=192, icp_iterations=12)
+        cfg = SLAMConfig(
+            max_keyframes=64, max_factors=256, frontend=fcfg,
+            solver=SolverConfig(mode="pcg", cg_max_iterations=25),
+        )
+        # Drive straight then turn, generating scans from the integrated pose.
+        world = default_world()
+        angles = beam_angles(fcfg.num_beams, fcfg.fov_rad)
+        dt = 0.1
+        twists = np.array(
+            [[2.0, 0.0, 0.0]] * 20 + [[1.5, 0.0, 1.0]] * 15, np.float32
+        )
+        pose = jnp.array([-7.0, -5.0, 0.0])
+        scans = [np.asarray(raycast(world, pose, angles, fcfg.max_range))]
+        for tw in twists:
+            pose = se2.compose(pose, jnp.asarray(tw * dt))
+            scans.append(np.asarray(raycast(world, pose, angles, fcfg.max_range)))
+        state, infos = run_slam_from_twists(np.asarray(scans), twists, dt, cfg)
+        assert int(state.num_kf) >= 3
+        assert int(state.num_factors) >= int(state.num_kf) - 1
+
     def test_capacity_guard(self):
         fcfg = FrontendConfig(num_beams=181, max_points=192, icp_iterations=8)
         cfg = SLAMConfig(
