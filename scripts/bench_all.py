@@ -78,9 +78,11 @@ def bench_frontend(quick):
     from graphslam_tpu.sim import simulate_trajectory
     from graphslam_tpu.slam import make_slam_step, init_state
 
+    # Capacities sized to the mission: masked-graph solve cost scales with
+    # capacity, not occupancy, so a 4x-oversized factor budget quarters fps.
     cfg = SLAMConfig(
-        max_keyframes=512,
-        max_factors=2048,
+        max_keyframes=128,
+        max_factors=384,
         solver=SolverConfig(mode="pcg", cg_max_iterations=50),
     )
     sim = simulate_trajectory(cfg.frontend, step_len=0.25, seed=1)
