@@ -7,8 +7,9 @@ the solve() the reference disabled (graph.cpp:195). Branches are masked
 writes, not Python control flow — the step compiles once and never
 recompiles as the map grows.
 
-The two GICP registrations (odometry + loop candidate) that the reference
-ran serially (scanner.cpp:115,141) run as one vmapped batch of 2.
+Of the reference's two GICP registrations (scanner.cpp:115,141), the
+odometry match runs every step and the loop probe runs under lax.cond only
+when a spatial candidate is plausible — most steps skip it entirely.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ import numpy as np
 
 from graphslam_tpu.config import SLAMConfig
 from graphslam_tpu.factors.graph import FactorGraph
-from graphslam_tpu.frontend.icp import gicp_match
+from graphslam_tpu.frontend.icp import MatchResult, gicp_match
 from graphslam_tpu.frontend.keyframes import motion_covariance
 from graphslam_tpu.frontend.projection import beam_angles, scan_to_points
 from graphslam_tpu.geometry import se2
@@ -114,10 +115,9 @@ def make_slam_step(cfg: SLAMConfig):
         cand_pts = state.kf_points[cand_idx]
         cand_mask = state.kf_masks[cand_idx]
 
-        # --- batched GICP: [vs last keyframe, vs loop candidate] ------------
-        loop_init = se2.between(cand_pose, pose_guess)
-        batched = jax.vmap(
-            lambda s, sm, t, tm, i: gicp_match(
+        # --- GICP vs last keyframe (every step) -----------------------------
+        def match(s, sm, t, tm, i):
+            return gicp_match(
                 s, sm, t, tm,
                 init_delta=i,
                 iterations=fcfg.icp_iterations,
@@ -125,35 +125,52 @@ def make_slam_step(cfg: SLAMConfig):
                 half_window=fcfg.normal_half_window,
                 gicp_eps=fcfg.gicp_epsilon,
             )
-        )
-        res = batched(
-            jnp.stack([pts, pts]),
-            jnp.stack([mask, mask]),
-            jnp.stack([last_pts, cand_pts]),
-            jnp.stack([last_mask, cand_mask]),
-            jnp.stack([odom_acc, loop_init]),
-        )
-        odo_delta = res.delta[0]
-        odo_fitness = res.fitness[0]
+
+        res_odo = match(pts, mask, last_pts, last_mask, odom_acc)
+        odo_delta = res_odo.delta
+        odo_fitness = res_odo.fitness
         odo_ok = (
-            res.converged[0]
-            & (res.matched_frac[0] > 0.5)
-            & (res.inlier_rms[0] < fcfg.max_match_rmse)
-            & ~res.degenerate[0]
+            res_odo.converged
+            & (res_odo.matched_frac > 0.5)
+            & (res_odo.inlier_rms < fcfg.max_match_rmse)
+            & ~res_odo.degenerate
         )
-        loop_delta = res.delta[1]
+
+        # --- loop-probe GICP, only when a candidate is plausible ------------
+        # (the reference also gated its probe on the keyframe branch,
+        # scanner.cpp:130-155; lax.cond skips the work at runtime on the
+        # majority of steps with no nearby candidate)
+        loop_init = se2.between(cand_pose, pose_guess)
+        loop_plausible = jnp.isfinite(cand_dist) & (
+            cand_dist < cfg.loop_closure_max_distance
+        )
+
+        def do_probe(_):
+            return match(pts, mask, cand_pts, cand_mask, loop_init)
+
+        def skip_probe(_):
+            zero3 = jnp.zeros(3, pts.dtype)
+            f = jnp.asarray(0.0, pts.dtype)
+            return MatchResult(
+                delta=zero3, fitness=f, inlier_rms=f + 1e9,
+                matched_frac=f, converged=jnp.bool_(False),
+                mahal_rmse=f + 1e9, degenerate=jnp.bool_(True),
+            )
+
+        res_loop = jax.lax.cond(loop_plausible, do_probe, skip_probe, None)
+        loop_delta = res_loop.delta
         loop_ok = (
-            res.converged[1]
-            & (res.matched_frac[1] > 0.5)
-            & (res.inlier_rms[1] < fcfg.max_match_rmse)
-            & ~res.degenerate[1]
+            res_loop.converged
+            & (res_loop.matched_frac > 0.5)
+            & (res_loop.inlier_rms < fcfg.max_match_rmse)
+            & ~res_loop.degenerate
         )
 
         # --- keyframe decision (reference motion gate + our quality gate) ---
         moved_enough = (
             (odo_fitness > fcfg.keyframe_fitness_threshold)
-            | (jnp.linalg.norm(res.delta[0][:2]) > fcfg.keyframe_trans_threshold)
-            | (jnp.abs(res.delta[0][2]) > fcfg.keyframe_rot_threshold)
+            | (jnp.linalg.norm(res_odo.delta[:2]) > fcfg.keyframe_trans_threshold)
+            | (jnp.abs(res_odo.delta[2]) > fcfg.keyframe_rot_threshold)
         )
         # Capacity guard: stop committing when arrays are full (2 factor
         # slots may be needed per keyframe: odometry + loop).
