@@ -281,11 +281,98 @@ def sphere2500(seed: int = 3) -> Dict[str, np.ndarray]:
     return sphere(n_rings=50, poses_per_ring=50, seed=seed)
 
 
+def garage(
+    n_levels: int = 4,
+    poses_per_loop: int = 120,
+    loops_per_level: int = 2,
+    radius: float = 18.0,
+    level_height: float = 3.0,
+    trans_sigma: float = 0.05,
+    rot_sigma: float = 0.01,
+    seed: int = 6,
+) -> Dict[str, np.ndarray]:
+    """Parking-garage-style SE(3) graph: a helical ramp through `n_levels`
+    stories with vertical loop closures between vertically adjacent laps —
+    the structure of the public parking-garage dataset."""
+    rng = np.random.default_rng(seed)
+    laps = n_levels * loops_per_level
+    n = laps * poses_per_loop
+    idx = np.arange(n)
+    angle = 2 * np.pi * idx / poses_per_loop
+    zz = level_height * idx / (poses_per_loop * loops_per_level)
+
+    t = np.stack(
+        [radius * np.cos(angle), radius * np.sin(angle), zz], axis=-1
+    )
+    # Body frame: x along travel, z up-ish.
+    fwd = np.stack([-np.sin(angle), np.cos(angle), np.full_like(angle, 0.02)], -1)
+    fwd /= np.linalg.norm(fwd, axis=-1, keepdims=True)
+    up = np.tile(np.array([0.0, 0.0, 1.0]), (n, 1))
+    side = np.cross(up, fwd)
+    side /= np.linalg.norm(side, axis=-1, keepdims=True)
+    up2 = np.cross(fwd, side)
+    R = np.stack([fwd, side, up2], axis=-1)
+    gt = np.concatenate([R.reshape(n, 9), t], axis=-1)
+
+    def between(a, b):
+        Ra, ta = a[..., :9].reshape(-1, 3, 3), a[..., 9:]
+        Rb, tb = b[..., :9].reshape(-1, 3, 3), b[..., 9:]
+        Rab = np.swapaxes(Ra, -1, -2) @ Rb
+        tab = np.einsum("nij,nj->ni", np.swapaxes(Ra, -1, -2), tb - ta)
+        return np.concatenate([Rab.reshape(-1, 9), tab], axis=-1)
+
+    def compose(a, b):
+        Ra, ta = a[..., :9].reshape(-1, 3, 3), a[..., 9:]
+        Rb, tb = b[..., :9].reshape(-1, 3, 3), b[..., 9:]
+        return np.concatenate(
+            [(Ra @ Rb).reshape(-1, 9), np.einsum("nij,nj->ni", Ra, tb) + ta],
+            axis=-1,
+        )
+
+    def perturb(z):
+        dR = _so3_exp(rng.normal(size=(len(z), 3)) * rot_sigma)
+        dt = rng.normal(size=(len(z), 3)) * trans_sigma
+        return compose(z, np.concatenate([dR.reshape(-1, 9), dt], axis=-1))
+
+    odo_ij = np.stack([idx[:-1], idx[1:]], axis=1)
+    odo_z = perturb(between(gt[:-1], gt[1:]))
+    has_up = idx < n - poses_per_loop
+    li = idx[has_up][::3]  # every 3rd pose gets a vertical closure
+    lj = li + poses_per_loop
+    loop_ij = np.stack([li, lj], axis=1)
+    loop_z = perturb(between(gt[li], gt[lj]))
+
+    edges = np.concatenate([odo_ij, loop_ij], axis=0).astype(np.int32)
+    meas = np.concatenate([odo_z, loop_z], axis=0).astype(np.float32)
+    info_diag = np.concatenate(
+        [np.full(3, 1.0 / trans_sigma**2), np.full(3, 1.0 / rot_sigma**2)]
+    )
+    info = np.tile(np.diag(info_diag)[None], (len(edges), 1, 1)).astype(np.float32)
+    is_loop = np.zeros(len(edges), dtype=bool)
+    is_loop[len(odo_ij):] = True
+
+    init = np.zeros((n, 12))
+    init[0] = gt[0]
+    for i in range(1, n):
+        init[i] = compose(init[i - 1 : i], odo_z[i - 1 : i])[0]
+
+    return {
+        "dim": 3,
+        "poses": init.astype(np.float32),
+        "edges": edges,
+        "measurements": meas,
+        "information": info,
+        "is_loop": is_loop,
+        "gt": gt.astype(np.float32),
+    }
+
+
 BENCHMARKS = {
     "intel": intel_like,
     "m3500": m3500,
     "city10000": city10000,
     "sphere2500": sphere2500,
+    "garage": garage,
 }
 
 

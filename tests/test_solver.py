@@ -165,6 +165,19 @@ class TestEndToEnd:
         assert ate < ate0
         assert ate < 0.3
 
+    def test_lm_garage_se3(self):
+        data = datasets.garage(n_levels=2, poses_per_loop=60, loops_per_level=2)
+        graph = from_dataset(data)
+        out = lm_solve(
+            jnp.asarray(data["poses"]), graph,
+            SolverConfig(mode="pcg", max_iterations=50),
+        )
+        gt = jnp.asarray(data["gt"])
+        ate0 = float(metrics.ate(jnp.asarray(data["poses"]), gt))
+        ate = float(metrics.ate(out.poses, gt))
+        assert ate < 0.3 * ate0
+        assert ate < 0.3
+
     def test_huber_handles_outlier_loop(self):
         data = tiny_se2_graph(noise=0.0)
         # Corrupt the loop closure badly.
