@@ -30,6 +30,44 @@ class TestG2O:
         assert np.allclose(back["information"], data["information"], rtol=1e-4)
 
 
+class TestG2ORobustness:
+    def test_comments_shuffled_vertices_and_fix(self, tmp_path):
+        # Real-world g2o files carry comments, FIX tags, and out-of-order
+        # vertices; the loader must take them in stride.
+        data = datasets.manhattan(n_poses=20, seed=50)
+        path = str(tmp_path / "messy.g2o")
+        save_g2o(path, data)
+        lines = open(path).read().strip().split("\n")
+        vx = [l for l in lines if l.startswith("VERTEX")]
+        ed = [l for l in lines if l.startswith("EDGE")]
+        messy = ["# a comment", "FIX 0"] + ed[:3] + vx[::-1] + ed[3:]
+        with open(path, "w") as f:
+            f.write("\n".join(messy) + "\n")
+        back = load_g2o(path, use_native=False)
+        assert np.allclose(back["poses"], data["poses"], atol=1e-5)
+        assert set(map(tuple, back["edges"].tolist())) == set(
+            map(tuple, data["edges"].tolist())
+        )
+
+    def test_native_handles_messy_file(self, tmp_path):
+        import pytest
+
+        try:
+            from graphslam_tpu.io import native_g2o
+            native_g2o._lib()
+        except OSError:
+            pytest.skip("native parser not built")
+        data = datasets.manhattan(n_poses=20, seed=51)
+        path = str(tmp_path / "messy2.g2o")
+        save_g2o(path, data)
+        lines = open(path).read().strip().split("\n")
+        with open(path, "w") as f:
+            f.write("# header\nFIX 0\n" + "\n".join(lines[::-1]) + "\n")
+        a = load_g2o(path, use_native=False)
+        b = load_g2o(path, use_native=True)
+        assert np.allclose(a["poses"], b["poses"], atol=1e-12)
+
+
 class TestNativeParser:
     def test_native_matches_python(self, tmp_path):
         import pytest

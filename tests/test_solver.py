@@ -165,6 +165,32 @@ class TestEndToEnd:
         assert ate < ate0
         assert ate < 0.3
 
+    def test_lm_pure_chain_no_loops(self):
+        # No loop closures at all: the prior-anchored chain must still solve
+        # (the reference's common early-run regime).
+        data = datasets.manhattan(n_poses=200, loop_prob=0.0, seed=44)
+        graph = from_dataset(data)
+        assert int(np.asarray(graph.is_loop).sum()) == 0
+        out = lm_solve(
+            jnp.asarray(data["poses"]), graph, SolverConfig(mode="pcg")
+        )
+        assert np.isfinite(float(out.error))
+        # Chain with exact anchoring: optimum ~ the odometry solution itself.
+        assert float(out.error) <= float(chi2(jnp.asarray(data["poses"]), graph)) + 1e-3
+
+    def test_single_pose_graph(self):
+        data = {
+            "dim": 2,
+            "poses": np.zeros((1, 3), np.float32),
+            "edges": np.zeros((0, 2), np.int64),
+            "measurements": np.zeros((0, 3), np.float32),
+            "information": np.zeros((0, 3, 3), np.float32),
+            "is_loop": np.zeros((0,), bool),
+        }
+        graph = from_dataset(data)
+        out = lm_solve(jnp.asarray(data["poses"]), graph, SolverConfig(mode="dense"))
+        assert np.allclose(out.poses, 0.0, atol=1e-5)
+
     def test_lm_garage_se3(self):
         data = datasets.garage(n_levels=2, poses_per_loop=60, loops_per_level=2)
         graph = from_dataset(data)
