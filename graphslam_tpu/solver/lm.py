@@ -115,8 +115,28 @@ def _lm_loop(poses0, graph: FactorGraph, cfg: SolverConfig, mode: str) -> LMStat
     return jax.lax.while_loop(cond, body, init)
 
 
-def lm_solve(poses0: jnp.ndarray, graph: FactorGraph, cfg: SolverConfig = SolverConfig()):
-    """Full Levenberg-Marquardt optimization. Returns the final LMState."""
+def lm_solve(
+    poses0: jnp.ndarray,
+    graph: FactorGraph,
+    cfg: SolverConfig = SolverConfig(),
+    auto_init: bool = False,
+):
+    """Full Levenberg-Marquardt optimization. Returns the final LMState.
+
+    auto_init: if the initial whitened chi2 is catastrophically above the
+    statistical expectation (>100x the residual dimension — a hopeless
+    basin), bootstrap with chordal initialization first (solver/init.py).
+    """
+    if auto_init:
+        m = graph.tangent_dim * (graph.num_edges + 1)
+        e0 = float(chi2(poses0, graph))
+        if e0 > 100.0 * m:
+            from graphslam_tpu.solver.init import chordal_init_se2, chordal_init_se3
+
+            init_fn = chordal_init_se2 if graph.tangent_dim == 3 else chordal_init_se3
+            candidate = init_fn(graph, poses0.shape[0])
+            if float(chi2(candidate, graph)) < e0:
+                poses0 = candidate
     mode = _solve_mode(cfg, poses0.shape[0])
     return _lm_loop(poses0, graph, cfg, mode)
 

@@ -69,6 +69,16 @@ def test_chordal_se3_beats_odometry_init():
     assert np.allclose(RtR, np.eye(3)[None], atol=1e-3)
 
 
+def test_lm_auto_init():
+    data = hard_dataset()
+    graph = from_dataset(data)
+    gt = jnp.asarray(data["gt"])
+    cfg = SolverConfig(mode="pcg", max_iterations=60, cg_max_iterations=100)
+    out = lm_solve(jnp.asarray(data["poses"]), graph, cfg, auto_init=True)
+    ate = float(metrics.ate(out.poses, gt))
+    assert ate < 1.0, ate
+
+
 def test_chordal_exact_on_noiseless_chain():
     # With exact measurements the linear bootstrap is exact (up to float32).
     data = datasets.manhattan(n_poses=120, rot_sigma=1e-9, trans_sigma=1e-9, seed=33)
