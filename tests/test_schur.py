@@ -59,6 +59,26 @@ def test_dist_schur_matches_single_device():
     assert np.allclose(single, multi, rtol=1e-3, atol=1e-4)
 
 
+def test_dist_schur_gn_converges_sphere():
+    # BASELINE config 5 end-to-end: SE(3) sphere optimized with the
+    # mesh-sharded partitioned-Schur direct solver.
+    from graphslam_tpu.factors import chi2
+    from graphslam_tpu.parallel import make_mesh
+    from graphslam_tpu.parallel.dist_schur import dist_schur_gn_solve
+
+    data = datasets.sphere(n_rings=8, poses_per_ring=10, radius=5.0, seed=27)
+    n = data["poses"].shape[0]
+    graph = from_dataset(data)
+    plan = schur_plan(np.asarray(graph.edges), n, 4)
+    mesh = make_mesh()
+    poses = dist_schur_gn_solve(
+        jnp.asarray(data["poses"]), graph, plan, mesh, iterations=8
+    )
+    e0 = float(chi2(jnp.asarray(data["poses"]), graph))
+    e1 = float(chi2(poses, graph))
+    assert e1 < 0.1 * e0, (e0, e1)
+
+
 def test_separator_is_small_for_banded_graph():
     # sphere rings: only boundary rings become separators.
     # 2 blocks of 5 rings: only the two rings at the cut are separators.
