@@ -195,5 +195,43 @@ class TestSE3:
         assert np.allclose(se3.transform(p, pts), expected, atol=1e-5)
 
 
+class TestGroupLaws:
+    def test_se2_associativity(self):
+        k1, k2, k3 = jax.random.split(KEY, 3)
+        a, b, c = rand_se2(k1, (6,)), rand_se2(k2, (6,)), rand_se2(k3, (6,))
+        lhs = se2.compose(se2.compose(a, b), c)
+        rhs = se2.compose(a, se2.compose(b, c))
+        assert np.allclose(lhs[:, :2], rhs[:, :2], atol=1e-5)
+        assert np.allclose(so2.wrap(lhs[:, 2] - rhs[:, 2]), 0.0, atol=1e-5)
+
+    def test_se3_associativity(self):
+        k1, k2, k3 = jax.random.split(KEY, 3)
+        a, b, c = rand_se3(k1, (6,)), rand_se3(k2, (6,)), rand_se3(k3, (6,))
+        lhs = se3.compose(se3.compose(a, b), c)
+        rhs = se3.compose(a, se3.compose(b, c))
+        assert np.allclose(lhs, rhs, atol=1e-4)
+
+    def test_inverse_of_compose(self):
+        k1, k2 = jax.random.split(KEY)
+        a, b = rand_se3(k1, (5,)), rand_se3(k2, (5,))
+        lhs = se3.inverse(se3.compose(a, b))
+        rhs = se3.compose(se3.inverse(b), se3.inverse(a))
+        assert np.allclose(lhs, rhs, atol=1e-4)
+
+    def test_exp_jacobian_identity_at_zero(self):
+        J2 = jax.jacfwd(se2.exp)(jnp.zeros(3))
+        assert np.allclose(J2, np.eye(3), atol=1e-6)
+        J3 = jax.jacfwd(lambda d: se3.log(se3.exp(d)))(jnp.zeros(6))
+        assert np.allclose(J3, np.eye(6), atol=1e-5)
+
+    def test_so3_project_recovers_rotation(self):
+        R = so3.exp(jax.random.normal(KEY, (8, 3)))
+        noisy = 1.7 * R + 0.3 * jax.random.normal(KEY, (8, 3, 3))
+        P = so3.project(noisy)
+        PtP = jnp.swapaxes(P, -1, -2) @ P
+        assert np.allclose(PtP, jnp.broadcast_to(jnp.eye(3), (8, 3, 3)), atol=1e-4)
+        assert np.allclose(jnp.linalg.det(P), 1.0, atol=1e-4)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
