@@ -275,6 +275,23 @@ def make_slam_step(cfg: SLAMConfig):
     return step
 
 
+def state_to_dataset(state: SLAMState) -> dict:
+    """Export the online map as the standard dataset dict (interoperable with
+    io.g2o.save_g2o) — keyframe poses + committed factors only."""
+    n = int(state.num_kf)
+    f = int(state.num_factors)
+    sqrt_info = np.asarray(state.sqrt_info[:f])
+    info = np.einsum("eba,ebc->eac", sqrt_info, sqrt_info)
+    return {
+        "dim": 2,
+        "poses": np.asarray(state.kf_poses[:n]),
+        "edges": np.asarray(state.edges[:f]),
+        "measurements": np.asarray(state.meas[:f]),
+        "information": info,
+        "is_loop": np.asarray(state.is_loop[:f]),
+    }
+
+
 def make_slam_replay(cfg: SLAMConfig, num_steps: int):
     """Whole-replay version: one jitted lax.scan over all scans.
 

@@ -92,6 +92,50 @@ class TestClosedLoop:
         # Stacked infos cover every step.
         assert infos.is_keyframe.shape[0] == 40
 
+    def test_enabled_solve_beats_reference_disabled_solve(self):
+        # The reference never ran its optimizer (solve() commented out,
+        # graph.cpp:195) — pose_opti stayed at composed dead-reckoning. Our
+        # enabled periodic solve must beat that behavior on a loop-closing
+        # tour.
+        fcfg = FrontendConfig(num_beams=361, max_points=384, icp_iterations=16)
+        base = dict(max_keyframes=128, max_factors=512, frontend=fcfg,
+                    solver=SolverConfig(mode="pcg", cg_max_iterations=50))
+        sim = simulate_trajectory(fcfg, step_len=0.3, seed=9,
+                                  odom_trans_sigma=0.02, odom_rot_sigma=0.01)
+        scans, odom, gt = sim["scans"], sim["odom_deltas"], sim["gt_poses"]
+
+        solved_cfg = SLAMConfig(**base, solve_every=1)
+        disabled_cfg = SLAMConfig(**base, solve_every=10**6)  # never solves
+
+        s1, i1 = run_slam(scans, odom, solved_cfg)
+        s0, i0 = run_slam(scans, odom, disabled_cfg)
+
+        def kf_ate(state, infos):
+            steps = [t for t, i in enumerate(infos) if bool(i.is_keyframe)]
+            n = int(state.num_kf)
+            return float(metrics.ate(
+                jnp.asarray(np.asarray(state.kf_poses[:n])),
+                jnp.asarray(gt[steps]),
+            ))
+
+        ate_solved = kf_ate(s1, i1)
+        ate_disabled = kf_ate(s0, i0)
+        assert ate_solved <= ate_disabled + 1e-6, (ate_solved, ate_disabled)
+
+    def test_state_to_dataset_roundtrip(self, tmp_path):
+        from graphslam_tpu.io import save_g2o, load_g2o
+        from graphslam_tpu.slam.pipeline import state_to_dataset
+
+        cfg = small_cfg()
+        sim = simulate_trajectory(cfg.frontend, step_len=0.35, seed=3)
+        state, _ = run_slam(sim["scans"][:60], sim["odom_deltas"][:59], cfg)
+        data = state_to_dataset(state)
+        assert data["poses"].shape[0] == int(state.num_kf)
+        path = str(tmp_path / "online.g2o")
+        save_g2o(path, data)
+        back = load_g2o(path, use_native=False)
+        assert np.allclose(back["poses"], data["poses"], atol=1e-5)
+
     def test_twist_driven_replay(self):
         from graphslam_tpu.geometry import se2
         from graphslam_tpu.slam.pipeline import run_slam_from_twists
