@@ -14,3 +14,9 @@ from graphslam_tpu.sim.world import (  # noqa: F401
     raycast,
     simulate_trajectory,
 )
+from graphslam_tpu.sim.grid import (  # noqa: F401
+    GridWorld,
+    load_pgm,
+    rasterize_world,
+    raycast_grid,
+)
