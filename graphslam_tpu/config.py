@@ -126,6 +126,12 @@ class SLAMConfig:
     solve_every: int = 1
     solve_iterations: int = 8
 
+    # Scan-to-map matching: the odometry match's target is the union of the
+    # last K keyframes' points expressed in the last keyframe's (optimized)
+    # frame. 1 = plain scan-to-keyframe (the reference's behavior,
+    # scanner.cpp:115); >1 = local-map matching per the north star.
+    scan_to_map_keyframes: int = 1
+
     frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
 

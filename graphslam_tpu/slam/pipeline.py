@@ -126,7 +126,26 @@ def make_slam_step(cfg: SLAMConfig):
                 gicp_eps=fcfg.gicp_epsilon,
             )
 
-        res_odo = match(pts, mask, last_pts, last_mask, odom_acc)
+        # Scan-to-map: widen the target to the last L keyframes' points
+        # expressed in the last keyframe's optimized frame (L=1 reduces to
+        # the reference's scan-to-keyframe).
+        L = cfg.scan_to_map_keyframes
+        if L > 1:
+            offs = jnp.arange(L)
+            src_idx = jnp.clip(state.num_kf - 1 - offs, 0, state.kf_poses.shape[0] - 1)
+            kf_sel_pose = state.kf_poses[src_idx]            # (L, 3)
+            rel = se2.between(
+                jnp.broadcast_to(last_pose, kf_sel_pose.shape), kf_sel_pose
+            )
+            moved = se2.transform(rel, state.kf_points[src_idx])
+            seg_valid = (offs < state.num_kf)[:, None]
+            tgt_pts_all = moved.reshape(-1, 2)
+            tgt_mask_all = (state.kf_masks[src_idx] & seg_valid).reshape(-1)
+        else:
+            tgt_pts_all = last_pts
+            tgt_mask_all = last_mask
+
+        res_odo = match(pts, mask, tgt_pts_all, tgt_mask_all, odom_acc)
         odo_delta = res_odo.delta
         odo_fitness = res_odo.fitness
         odo_ok = (

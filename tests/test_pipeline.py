@@ -122,6 +122,30 @@ class TestClosedLoop:
         ate_disabled = kf_ate(s0, i0)
         assert ate_solved <= ate_disabled + 1e-6, (ate_solved, ate_disabled)
 
+    def test_scan_to_map_matching(self):
+        # L=3 local-map targets must work at least as well as scan-to-keyframe.
+        fcfg = FrontendConfig(num_beams=181, max_points=192, icp_iterations=16)
+        mk = lambda L: SLAMConfig(
+            max_keyframes=64, max_factors=256, frontend=fcfg,
+            solver=SolverConfig(mode="pcg", cg_max_iterations=25),
+            scan_to_map_keyframes=L,
+        )
+        sim = simulate_trajectory(fcfg, step_len=0.4, seed=3)
+        scans, odom, gt = sim["scans"][:80], sim["odom_deltas"][:79], sim["gt_poses"]
+
+        def run(L):
+            state, infos = run_slam(scans, odom, mk(L))
+            steps = [t for t, i in enumerate(infos) if bool(i.is_keyframe)]
+            n = int(state.num_kf)
+            return float(metrics.ate(
+                jnp.asarray(np.asarray(state.kf_poses[:n])), jnp.asarray(gt[steps])
+            ))
+
+        a1 = run(1)
+        a3 = run(3)
+        assert a3 < a1 * 1.5 + 0.05, (a1, a3)
+        assert a3 < 0.5
+
     def test_state_to_dataset_roundtrip(self, tmp_path):
         from graphslam_tpu.io import save_g2o, load_g2o
         from graphslam_tpu.slam.pipeline import state_to_dataset
