@@ -155,9 +155,11 @@ def gicp_match(
     None = auto (TPU yes, elsewhere no)."""
     dtype = src_pts.dtype
     delta0 = jnp.zeros(3, dtype) if init_delta is None else init_delta
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     if use_pallas is None:
         # 'axon' is the tunneled-TPU platform in this environment.
-        use_pallas = jax.default_backend() in ("tpu", "axon")
+        use_pallas = on_tpu
+    kernel_interpret = not on_tpu  # CPU testing path for the fused kernel
 
     Ct = surfel_covs(tgt_pts, tgt_mask, half_window, gicp_eps)
     Cs = surfel_covs(src_pts, src_mask, half_window, gicp_eps)
@@ -167,16 +169,38 @@ def gicp_match(
 
     def step(delta, _):
         moved = se2.transform(delta, src_pts)
-        if use_pallas:
-            from graphslam_tpu.ops.correspondence import nearest_neighbors
+        c, s = jnp.cos(delta[2]), jnp.sin(delta[2])
+        dR = jnp.array([[-s, -c], [c, -s]], dtype)
+        jtheta = src_pts @ dR.T                            # (P, 2)
 
-            nn, nn_d2 = nearest_neighbors(moved, tgt_pts, tgt_mask)
-            nn_d2 = jnp.minimum(nn_d2, big)  # align no-valid-target semantics
-        else:
-            d2 = _pairwise_sqdist(moved, tgt_pts)
-            d2 = jnp.where(invalid_t[None, :], big, d2)
-            nn = jnp.argmin(d2, axis=1)
-            nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
+        if use_pallas:
+            # One fused Pallas pass: correspondence + Mahalanobis weighting
+            # + normal-equation reduction (ops/icp_kernel.py).
+            from graphslam_tpu.ops.icp_kernel import fused_icp_iteration
+
+            # R Cs R^T upper entries, R = R(theta).
+            a, b_, d = Cs[:, 0, 0], Cs[:, 0, 1], Cs[:, 1, 1]
+            c11 = c * c * a - 2 * c * s * b_ + s * s * d
+            c12 = c * s * (a - d) + (c * c - s * s) * b_
+            c22 = s * s * a + 2 * c * s * b_ + c * c * d
+            Csr = jnp.stack([c11, c12, c22], axis=-1)
+            H, g, st = fused_icp_iteration(
+                moved, jtheta, src_mask, tgt_pts, tgt_mask, Ct, Csr,
+                max_corr2=float(max_corr_dist) ** 2, eps=1e-6,
+                interpret=kernel_interpret,
+            )
+            H = H + 1e-6 * jnp.eye(3, dtype=dtype)
+            upd = jnp.linalg.solve(H, g)
+            new_delta = jnp.concatenate(
+                [delta[:2] + upd[:2], so2.wrap(delta[2] + upd[2])[None]]
+            )
+            stats = (st[0], st[1], st[2], st[3], jnp.linalg.norm(upd), H)
+            return new_delta, stats
+
+        d2 = _pairwise_sqdist(moved, tgt_pts)
+        d2 = jnp.where(invalid_t[None, :], big, d2)
+        nn = jnp.argmin(d2, axis=1)
+        nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
         good = src_mask & (nn_d2 <= max_corr_dist**2)
         wv = jnp.where(good, 1.0, 0.0)
 
@@ -188,9 +212,6 @@ def gicp_match(
 
         e = q - moved                                      # (P, 2)
         # J = d(moved)/d(dx,dy,dtheta) = [I2 | dR/dtheta @ p_src]
-        c, s = jnp.cos(delta[2]), jnp.sin(delta[2])
-        dR = jnp.array([[-s, -c], [c, -s]], dtype)
-        jtheta = src_pts @ dR.T                            # (P, 2)
         J = jnp.concatenate(
             [jnp.broadcast_to(jnp.eye(2, dtype=dtype), (src_pts.shape[0], 2, 2)),
              jtheta[:, :, None]],
