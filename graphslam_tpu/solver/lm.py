@@ -46,29 +46,11 @@ def _retract_all(poses: jnp.ndarray, dx: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _lm_step(poses, lam, err, graph, cfg: SolverConfig, mode: str):
-    """One LM trial: linearize at poses, solve with damping lam, accept or
-    reject. Returns (poses', lam', err', accepted, model_decrease)."""
+def _linearized_system(poses, graph, cfg: SolverConfig):
     lin = linearize(
         poses, graph, huber_delta=cfg.huber_delta, use_huber=cfg.use_huber_on_loops
     )
-    sys = build_blocks(lin, graph, poses.shape[0])
-    if mode == "dense":
-        dx = dense_solve(sys, lam)
-    else:
-        dx = pcg_solve(
-            sys, lam,
-            max_iters=cfg.cg_max_iterations,
-            tol=cfg.cg_tol,
-            preconditioner=cfg.preconditioner,
-            chain_prefix=graph.chain_prefix,
-        )
-    candidate = _retract_all(poses, dx)
-    new_err = chi2(
-        candidate, graph, huber_delta=cfg.huber_delta, use_huber=cfg.use_huber_on_loops
-    )
-    accepted = new_err < err
-    return candidate, accepted, new_err
+    return build_blocks(lin, graph, poses.shape[0])
 
 
 @partial(jax.jit, static_argnames=("cfg", "mode"))
@@ -76,21 +58,46 @@ def _lm_loop(poses0, graph: FactorGraph, cfg: SolverConfig, mode: str) -> LMStat
     err0 = chi2(
         poses0, graph, huber_delta=cfg.huber_delta, use_huber=cfg.use_huber_on_loops
     )
-    init = LMState(
+    init_state = LMState(
         poses=poses0,
         lam=jnp.asarray(cfg.init_lambda, poses0.dtype),
         error=err0,
         iterations=jnp.int32(0),
         converged=jnp.bool_(False),
     )
+    sys0 = _linearized_system(poses0, graph, cfg)
 
-    def cond(s: LMState):
+    def cond(carry):
+        s, _, _ = carry
         return (s.iterations < cfg.max_iterations) & (~s.converged)
 
-    def body(s: LMState):
-        candidate, accepted, new_err = _lm_step(
-            s.poses, s.lam, s.error, graph, cfg, mode
+    def body(carry):
+        s, sys, need_relin = carry
+        # After a rejected step the poses haven't moved — reuse the cached
+        # linearization and only retry the (cheap) damped solve.
+        sys = jax.lax.cond(
+            need_relin,
+            lambda _: _linearized_system(s.poses, graph, cfg),
+            lambda _: sys,
+            None,
         )
+        if mode == "dense":
+            dx = dense_solve(sys, s.lam)
+        else:
+            dx = pcg_solve(
+                sys, s.lam,
+                max_iters=cfg.cg_max_iterations,
+                tol=cfg.cg_tol,
+                preconditioner=cfg.preconditioner,
+                chain_prefix=graph.chain_prefix,
+            )
+        candidate = _retract_all(s.poses, dx)
+        new_err = chi2(
+            candidate, graph,
+            huber_delta=cfg.huber_delta, use_huber=cfg.use_huber_on_loops,
+        )
+        accepted = new_err < s.error
+
         poses = jnp.where(accepted, candidate, s.poses)
         lam = jnp.where(
             accepted,
@@ -104,15 +111,19 @@ def _lm_loop(poses0, graph: FactorGraph, cfg: SolverConfig, mode: str) -> LMStat
             | (decrease < cfg.rel_decrease_tol * s.error)
         )
         converged = converged | (s.lam >= cfg.max_lambda)
-        return LMState(
+        new_s = LMState(
             poses=poses,
             lam=lam,
             error=err,
             iterations=s.iterations + 1,
             converged=converged,
         )
+        return new_s, sys, accepted
 
-    return jax.lax.while_loop(cond, body, init)
+    s, _, _ = jax.lax.while_loop(
+        cond, body, (init_state, sys0, jnp.bool_(False))
+    )
+    return s
 
 
 def lm_solve(
