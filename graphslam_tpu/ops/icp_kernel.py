@@ -28,75 +28,79 @@ OUT_LANES = 16
 
 
 def _kernel(moved_ref, jth_ref, smask_ref, tx_ref, ty_ref, tvalid_ref,
-            table_ref, csr_ref, out_ref, *, max_corr2: float, eps: float):
-    mx = moved_ref[:, 0:1]          # (T, 1)
-    my = moved_ref[:, 1:2]
-    tx = tx_ref[:]                  # (1, Q)
-    ty = ty_ref[:]
-    dx = mx - tx                    # (T, Q)
-    dy = my - ty
-    d2 = dx * dx + dy * dy
-    big = jnp.asarray(3.4e38, d2.dtype)
-    d2 = jnp.where(tvalid_ref[:] != 0, d2, big)
-    min_d2 = jnp.min(d2, axis=1, keepdims=True)          # (T, 1)
-    nn = jnp.argmin(d2, axis=1, keepdims=True)           # (T, 1)
+            table_ref, csr_ref, out_ref, *, G: int, max_corr2: float,
+            eps: float):
+    """Single program; fori_loop over ROW_TILE tiles with 13 scalar
+    accumulators (mosaic requires output blocks tiled (8,128), so the packed
+    result is written into row 0 of an (8,128) block)."""
+    Q = tx_ref.shape[1]
 
-    # Exact one-hot of the argmin column -> matched target row of the packed
-    # table [x, y, c11, c12, c22, 0] via one MXU matmul.
-    Q = d2.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (mx.shape[0], Q), 1)
-    onehot = (col == nn).astype(d2.dtype)                # (T, Q)
-    matched = jnp.dot(onehot, table_ref[:], preferred_element_type=d2.dtype)
-    qx, qy = matched[:, 0], matched[:, 1]
-    ct11, ct12, ct22 = matched[:, 2], matched[:, 3], matched[:, 4]
+    def tile(i, acc):
+        sl = pl.ds(i * ROW_TILE, ROW_TILE)
+        mx = moved_ref[sl, 0:1]          # (T, 1)
+        my = moved_ref[sl, 1:2]
+        dx = mx - tx_ref[:]              # (T, Q)
+        dy = my - ty_ref[:]
+        d2 = dx * dx + dy * dy
+        big = jnp.asarray(3.4e38, d2.dtype)
+        d2 = jnp.where(tvalid_ref[:] != 0, d2, big)
+        min_d2 = jnp.min(d2, axis=1, keepdims=True)
+        nn = jnp.argmin(d2, axis=1, keepdims=True)
 
-    smask = smask_ref[:, 0]                              # (T,)
-    valid_any = (min_d2[:, 0] < big * 0.5) & (smask != 0)
-    w = valid_any & (min_d2[:, 0] <= max_corr2)
-    wf = w.astype(d2.dtype)
-    wall = (smask != 0).astype(d2.dtype)
+        # Exact one-hot of the argmin column -> matched target row of the
+        # packed table [x, y, c11, c12, c22, 0] via one MXU matmul.
+        col = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, Q), 1)
+        onehot = (col == nn).astype(d2.dtype)
+        matched = jnp.dot(onehot, table_ref[:], preferred_element_type=d2.dtype)
+        qx, qy = matched[:, 0], matched[:, 1]
+        ct11, ct12, ct22 = matched[:, 2], matched[:, 3], matched[:, 4]
 
-    # Combined covariance C = Ct + R Cs R^T (+ eps I), inverted in closed form.
-    c11 = ct11 + csr_ref[:, 0] + eps
-    c12 = ct12 + csr_ref[:, 1]
-    c22 = ct22 + csr_ref[:, 2] + eps
-    det = c11 * c22 - c12 * c12
-    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
-    m11 = c22 / det
-    m12 = -c12 / det
-    m22 = c11 / det
+        smask = smask_ref[sl, 0]
+        valid_any = (min_d2[:, 0] < big * 0.5) & (smask != 0)
+        w = valid_any & (min_d2[:, 0] <= max_corr2)
+        wf = w.astype(d2.dtype)
+        wall = (smask != 0).astype(d2.dtype)
 
-    ex = qx - mx[:, 0]
-    ey = qy - my[:, 0]
-    jx = jth_ref[:, 0]
-    jy = jth_ref[:, 1]
+        c11 = ct11 + csr_ref[sl, 0] + eps
+        c12 = ct12 + csr_ref[sl, 1]
+        c22 = ct22 + csr_ref[sl, 2] + eps
+        det = c11 * c22 - c12 * c12
+        det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+        m11 = c22 / det
+        m12 = -c12 / det
+        m22 = c11 / det
 
-    me1 = m11 * ex + m12 * ey
-    me2 = m12 * ex + m22 * ey
-    g1 = jnp.sum(wf * me1)
-    g2 = jnp.sum(wf * me2)
-    g3 = jnp.sum(wf * (jx * me1 + jy * me2))
+        ex = qx - mx[:, 0]
+        ey = qy - my[:, 0]
+        jx = jth_ref[sl, 0]
+        jy = jth_ref[sl, 1]
+        me1 = m11 * ex + m12 * ey
+        me2 = m12 * ex + m22 * ey
 
-    h11 = jnp.sum(wf * m11)
-    h12 = jnp.sum(wf * m12)
-    h22 = jnp.sum(wf * m22)
-    h13 = jnp.sum(wf * (m11 * jx + m12 * jy))
-    h23 = jnp.sum(wf * (m12 * jx + m22 * jy))
-    h33 = jnp.sum(wf * (jx * jx * m11 + 2.0 * jx * jy * m12 + jy * jy * m22))
+        d2c = jnp.minimum(min_d2[:, 0], 1e9)
+        vals = (
+            jnp.sum(wf * m11),
+            jnp.sum(wf * m12),
+            jnp.sum(wf * m22),
+            jnp.sum(wf * (m11 * jx + m12 * jy)),
+            jnp.sum(wf * (m12 * jx + m22 * jy)),
+            jnp.sum(wf * (jx * jx * m11 + 2.0 * jx * jy * m12 + jy * jy * m22)),
+            jnp.sum(wf * me1),
+            jnp.sum(wf * me2),
+            jnp.sum(wf * (jx * me1 + jy * me2)),
+            jnp.sum(wall * d2c),
+            jnp.sum(wf * d2c),
+            jnp.sum(wf),
+            jnp.sum(wf * (ex * me1 + ey * me2)),
+        )
+        return tuple(a + v for a, v in zip(acc, vals))
 
-    d2_clamped = jnp.minimum(min_d2[:, 0], 1e9)
-    s_all = jnp.sum(wall * d2_clamped)
-    s_gated = jnp.sum(wf * d2_clamped)
-    n_match = jnp.sum(wf)
-    s_mahal = jnp.sum(wf * (ex * me1 + ey * me2))
-
-    packed = jnp.stack(
-        [h11, h12, h22, h13, h23, h33, g1, g2, g3,
-         s_all, s_gated, n_match, s_mahal,
-         jnp.asarray(0.0, d2.dtype), jnp.asarray(0.0, d2.dtype),
-         jnp.asarray(0.0, d2.dtype)]
-    ).reshape(1, OUT_LANES)
-    out_ref[:] = packed
+    zero = jnp.asarray(0.0, moved_ref.dtype)
+    acc = jax.lax.fori_loop(0, G, tile, (zero,) * 13)
+    out = jnp.zeros((8, 128), moved_ref.dtype)
+    for k, v in enumerate(acc):
+        out = out.at[0, k].set(v)
+    out_ref[:] = out
 
 
 @partial(jax.jit, static_argnames=("max_corr2", "eps", "interpret"))
@@ -131,22 +135,12 @@ def fused_icp_iteration(
     )  # (Q, 6)
     smask2 = src_mask.astype(jnp.int32)[:, None]
 
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_kernel, max_corr2=max_corr2, eps=eps),
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((ROW_TILE, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_TILE, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q, 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, OUT_LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, OUT_LANES), moved.dtype),
+        partial(_kernel, G=G, max_corr2=max_corr2, eps=eps),
+        in_specs=[vspec() for _ in range(8)],
+        out_specs=vspec(),
+        out_shape=jax.ShapeDtypeStruct((8, 128), moved.dtype),
         interpret=interpret,
     )(
         moved, jtheta, smask2,
@@ -154,7 +148,7 @@ def fused_icp_iteration(
         tgt_valid.astype(jnp.int32).reshape(1, Q),
         table, Csr,
     )
-    acc = jnp.sum(out, axis=0)
+    acc = out[0]
     H = jnp.array(
         [[acc[0], acc[1], acc[3]],
          [acc[1], acc[2], acc[4]],
