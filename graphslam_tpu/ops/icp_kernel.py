@@ -97,10 +97,9 @@ def _kernel(moved_ref, jth_ref, smask_ref, tx_ref, ty_ref, tvalid_ref,
 
     zero = jnp.asarray(0.0, moved_ref.dtype)
     acc = jax.lax.fori_loop(0, G, tile, (zero,) * 13)
-    out = jnp.zeros((8, 128), moved_ref.dtype)
+    out_ref[:] = jnp.zeros((8, 128), moved_ref.dtype)
     for k, v in enumerate(acc):
-        out = out.at[0, k].set(v)
-    out_ref[:] = out
+        out_ref[0, k] = v
 
 
 @partial(jax.jit, static_argnames=("max_corr2", "eps", "interpret"))
