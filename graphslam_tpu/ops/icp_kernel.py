@@ -97,9 +97,11 @@ def _kernel(moved_ref, jth_ref, smask_ref, tx_ref, ty_ref, tvalid_ref,
 
     zero = jnp.asarray(0.0, moved_ref.dtype)
     acc = jax.lax.fori_loop(0, G, tile, (zero,) * 13)
-    out_ref[:] = jnp.zeros((8, 128), moved_ref.dtype)
+    # Scalars land in SMEM (VMEM cannot take scalar stores on TPU).
     for k, v in enumerate(acc):
-        out_ref[0, k] = v
+        out_ref[k] = v
+    for k in range(13, OUT_LANES):
+        out_ref[k] = zero
 
 
 @partial(jax.jit, static_argnames=("max_corr2", "eps", "interpret"))
@@ -138,8 +140,8 @@ def fused_icp_iteration(
     out = pl.pallas_call(
         partial(_kernel, G=G, max_corr2=max_corr2, eps=eps),
         in_specs=[vspec() for _ in range(8)],
-        out_specs=vspec(),
-        out_shape=jax.ShapeDtypeStruct((8, 128), moved.dtype),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((OUT_LANES,), moved.dtype),
         interpret=interpret,
     )(
         moved, jtheta, smask2,
@@ -147,7 +149,7 @@ def fused_icp_iteration(
         tgt_valid.astype(jnp.int32).reshape(1, Q),
         table, Csr,
     )
-    acc = out[0]
+    acc = out
     H = jnp.array(
         [[acc[0], acc[1], acc[3]],
          [acc[1], acc[2], acc[4]],
