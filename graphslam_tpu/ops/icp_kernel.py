@@ -37,71 +37,75 @@ def _kernel(moved_ref, jth_ref, smask_ref, tx_ref, ty_ref, tvalid_ref,
 
     def tile(i, acc):
         sl = pl.ds(i * ROW_TILE, ROW_TILE)
-        mx = moved_ref[sl, 0:1]          # (T, 1)
-        my = moved_ref[sl, 1:2]
+        mx = moved_ref[sl, 0:1]          # (T, 1) — everything stays 2D for
+        my = moved_ref[sl, 1:2]          # mosaic-friendly layouts
         dx = mx - tx_ref[:]              # (T, Q)
         dy = my - ty_ref[:]
         d2 = dx * dx + dy * dy
         big = jnp.asarray(3.4e38, d2.dtype)
         d2 = jnp.where(tvalid_ref[:] != 0, d2, big)
-        min_d2 = jnp.min(d2, axis=1, keepdims=True)
-        nn = jnp.argmin(d2, axis=1, keepdims=True)
+        min_d2 = jnp.min(d2, axis=1, keepdims=True)      # (T, 1)
+        nn = jnp.argmin(d2, axis=1, keepdims=True)       # (T, 1)
 
         # Exact one-hot of the argmin column -> matched target row of the
         # packed table [x, y, c11, c12, c22, 0] via one MXU matmul.
         col = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, Q), 1)
         onehot = (col == nn).astype(d2.dtype)
         matched = jnp.dot(onehot, table_ref[:], preferred_element_type=d2.dtype)
-        qx, qy = matched[:, 0], matched[:, 1]
-        ct11, ct12, ct22 = matched[:, 2], matched[:, 3], matched[:, 4]
+        qx, qy = matched[:, 0:1], matched[:, 1:2]        # (T, 1)
+        ct11, ct12, ct22 = matched[:, 2:3], matched[:, 3:4], matched[:, 4:5]
 
-        smask = smask_ref[sl, 0]
-        valid_any = (min_d2[:, 0] < big * 0.5) & (smask != 0)
-        w = valid_any & (min_d2[:, 0] <= max_corr2)
+        smask = smask_ref[sl, 0:1]                        # (T, 1)
+        valid_any = (min_d2 < big * 0.5) & (smask != 0)
+        w = valid_any & (min_d2 <= max_corr2)
         wf = w.astype(d2.dtype)
         wall = (smask != 0).astype(d2.dtype)
 
-        c11 = ct11 + csr_ref[sl, 0] + eps
-        c12 = ct12 + csr_ref[sl, 1]
-        c22 = ct22 + csr_ref[sl, 2] + eps
+        c11 = ct11 + csr_ref[sl, 0:1] + eps
+        c12 = ct12 + csr_ref[sl, 1:2]
+        c22 = ct22 + csr_ref[sl, 2:3] + eps
         det = c11 * c22 - c12 * c12
         det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
         m11 = c22 / det
         m12 = -c12 / det
         m22 = c11 / det
 
-        ex = qx - mx[:, 0]
-        ey = qy - my[:, 0]
-        jx = jth_ref[sl, 0]
-        jy = jth_ref[sl, 1]
+        ex = qx - mx
+        ey = qy - my
+        jx = jth_ref[sl, 0:1]
+        jy = jth_ref[sl, 1:2]
         me1 = m11 * ex + m12 * ey
         me2 = m12 * ex + m22 * ey
 
-        d2c = jnp.minimum(min_d2[:, 0], 1e9)
-        vals = (
-            jnp.sum(wf * m11),
-            jnp.sum(wf * m12),
-            jnp.sum(wf * m22),
-            jnp.sum(wf * (m11 * jx + m12 * jy)),
-            jnp.sum(wf * (m12 * jx + m22 * jy)),
-            jnp.sum(wf * (jx * jx * m11 + 2.0 * jx * jy * m12 + jy * jy * m22)),
-            jnp.sum(wf * me1),
-            jnp.sum(wf * me2),
-            jnp.sum(wf * (jx * me1 + jy * me2)),
-            jnp.sum(wall * d2c),
-            jnp.sum(wf * d2c),
-            jnp.sum(wf),
-            jnp.sum(wf * (ex * me1 + ey * me2)),
-        )
-        return tuple(a + v for a, v in zip(acc, vals))
+        d2c = jnp.minimum(min_d2, 1e9)
+        zero_col = jnp.zeros((ROW_TILE, 1), d2.dtype)
+        cols = jnp.concatenate(
+            [
+                wf * m11,
+                wf * m12,
+                wf * m22,
+                wf * (m11 * jx + m12 * jy),
+                wf * (m12 * jx + m22 * jy),
+                wf * (jx * jx * m11 + 2.0 * jx * jy * m12 + jy * jy * m22),
+                wf * me1,
+                wf * me2,
+                wf * (jx * me1 + jy * me2),
+                wall * d2c,
+                wf * d2c,
+                wf,
+                wf * (ex * me1 + ey * me2),
+                zero_col, zero_col, zero_col,
+            ],
+            axis=1,
+        )                                                 # (T, 16)
+        return acc + jnp.sum(cols, axis=0, keepdims=True)  # (1, 16)
 
-    zero = jnp.asarray(0.0, moved_ref.dtype)
-    acc = jax.lax.fori_loop(0, G, tile, (zero,) * 13)
+    acc = jax.lax.fori_loop(
+        0, G, tile, jnp.zeros((1, OUT_LANES), moved_ref.dtype)
+    )
     # Scalars land in SMEM (VMEM cannot take scalar stores on TPU).
-    for k, v in enumerate(acc):
-        out_ref[k] = v
-    for k in range(13, OUT_LANES):
-        out_ref[k] = zero
+    for k in range(OUT_LANES):
+        out_ref[k] = acc[0, k]
 
 
 @partial(jax.jit, static_argnames=("max_corr2", "eps", "interpret"))
