@@ -131,7 +131,13 @@ def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("iterations", "half_window", "use_pallas"),
+    # max_corr_dist/gicp_eps are static: the fused Pallas kernel bakes them
+    # in as Python floats (a traced value here would fail at float() when
+    # gicp_match is called with them passed explicitly, e.g. from the
+    # pipeline step — defaults bind concretely and masked the issue).
+    static_argnames=(
+        "iterations", "half_window", "use_pallas", "max_corr_dist", "gicp_eps"
+    ),
 )
 def gicp_match(
     src_pts: jnp.ndarray,

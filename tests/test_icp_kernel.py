@@ -87,3 +87,22 @@ def test_no_valid_targets():
     )
     assert float(s[2]) == 0.0  # no matches
     assert np.allclose(H, 0.0)
+
+
+def test_fused_explicit_tunables_regression():
+    # Regression: max_corr_dist/gicp_eps passed EXPLICITLY (as the pipeline
+    # does from FrontendConfig) must reach the fused kernel as Python floats.
+    # Before they were made static in gicp_match's jit, explicit passing
+    # traced them and float(max_corr_dist) raised ConcretizationTypeError.
+    from graphslam_tpu.frontend import gicp_match
+
+    moved, jtheta, src_mask, tgt, tgt_valid, Ct, Csr = make_inputs(seed=3)
+    res = gicp_match(
+        moved, src_mask, tgt, tgt_valid,
+        iterations=4, max_corr_dist=1.25, gicp_eps=1e-3, use_pallas=True,
+    )
+    res2 = gicp_match(
+        moved, src_mask, tgt, tgt_valid,
+        iterations=4, max_corr_dist=1.25, gicp_eps=1e-3, use_pallas=False,
+    )
+    assert np.allclose(res.delta, res2.delta, atol=1e-3)
