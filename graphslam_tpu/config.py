@@ -22,6 +22,11 @@ class SolverConfig:
                    tiny by TPU standards and the MXU eats it whole.
       * "pcg"    — matrix-free block-sparse preconditioned conjugate gradient;
                    right for large graphs (city10000+) and the multi-device path.
+      * "pcg_fused" — the same PCG, but the entire CG loop runs inside ONE
+                   Pallas kernel with a parallel-cyclic-reduction chain
+                   preconditioner (ops/pcg_kernel.py). SE(2) (T=3) only;
+                   fixed cg_max_iterations (no tol early-exit). The fast
+                   single-chip path on TPU.
       * "auto"   — dense below `dense_threshold` poses, else pcg.
     """
 

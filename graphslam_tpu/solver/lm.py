@@ -83,6 +83,14 @@ def _lm_loop(poses0, graph: FactorGraph, cfg: SolverConfig, mode: str) -> LMStat
         )
         if mode == "dense":
             dx = dense_solve(sys, s.lam)
+        elif mode == "pcg_fused":
+            from graphslam_tpu.ops.pcg_kernel import fused_pcg_solve
+
+            dx = fused_pcg_solve(
+                sys, s.lam,
+                max_iters=cfg.cg_max_iterations,
+                chain_prefix=graph.chain_prefix,
+            )
         else:
             dx = pcg_solve(
                 sys, s.lam,
@@ -159,6 +167,15 @@ def _gn_loop(poses0, graph, cfg: SolverConfig, mode: str, iterations: int):
         sys = build_blocks(lin, graph, poses.shape[0])
         if mode == "dense":
             dx = dense_solve(sys, jnp.asarray(0.0, poses.dtype))
+        elif mode == "pcg_fused":
+            from graphslam_tpu.ops.pcg_kernel import fused_pcg_solve
+
+            dx = fused_pcg_solve(
+                sys,
+                jnp.asarray(0.0, poses.dtype),
+                max_iters=cfg.cg_max_iterations,
+                chain_prefix=graph.chain_prefix,
+            )
         else:
             dx = pcg_solve(
                 sys,
