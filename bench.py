@@ -45,13 +45,15 @@ def main():
 
     # One jit signature serves both the correctness gate and the timed
     # section — remote compiles are expensive on this platform.
-    # cg=25 + the cyclic-reduction chain preconditioner reaches better
-    # per-iteration chi2 than jacobi/cg=50 at ~equal cost (RESULTS.md sweep).
+    # cg=25 + the chain preconditioner reaches better per-iteration chi2
+    # than jacobi/cg=50 at ~equal cost (RESULTS.md sweep). pcg_fused runs
+    # the whole CG loop in one Pallas kernel (ops/pcg_kernel.py).
     iters = 50
-    tcfg = SolverConfig(mode="pcg", cg_max_iterations=25, cg_tol=1e-7)
+    mode = "pcg_fused"
+    tcfg = SolverConfig(mode=mode, cg_max_iterations=25, cg_tol=1e-7)
 
     # --- correctness gate: GN must reach the optimum basin ------------------
-    out = _gn_loop(poses0, graph, tcfg, "pcg", iters)
+    out = _gn_loop(poses0, graph, tcfg, mode, iters)
     ate = float(metrics.ate(out, gt))
     ate0 = float(metrics.ate(poses0, gt))
     log(f"m3500: chi2 {float(chi2(poses0, graph)):.1f} -> "
@@ -64,12 +66,12 @@ def main():
     # Each iteration = full linearize (4.6k factors) + block normal equations
     # + PCG solve (<=25 inner CG iterations) + retract, inside one jitted
     # lax.scan.
-    sync(_gn_loop(poses0, graph, tcfg, "pcg", iters))  # settle
+    sync(_gn_loop(poses0, graph, tcfg, mode, iters))  # settle
 
     times = []
     for rep in range(5):
         t0 = time.perf_counter()
-        sync(_gn_loop(poses0, graph, tcfg, "pcg", iters))
+        sync(_gn_loop(poses0, graph, tcfg, mode, iters))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     its_per_s = iters / dt

@@ -170,11 +170,87 @@ def _sub_roll(v, d):
     return _roll(v, -d, 0)
 
 
+# -- in-kernel plane-space block algebra -------------------------------------
+# A "plane set" is a 3-tuple of (3, Npad) arrays: P[d][a, n] = M[n, a, (a+d)%3]
+# (the rotation-trick layout of _rot_planes). All 3x3 block-field algebra
+# reduces to sublane rolls + elementwise FMAs on full planes.
+
+
+def _pl_bmm(A, B):
+    """Per-pose block product C[n] = A[n] @ B[n] in plane space:
+    C_d = sum_d' A_d' * sub_roll(B_{(d-d') mod 3}, d')."""
+    return tuple(
+        sum(A[dp] * _sub_roll(B[(d - dp) % 3], dp) for dp in range(3))
+        for d in range(3)
+    )
+
+
+def _pl_sub(A, B):
+    return tuple(a - b for a, b in zip(A, B))
+
+
+def _pl_neg(A):
+    return tuple(-a for a in A)
+
+
+def _pl_lane_roll(A, h: int):
+    return tuple(_roll(p, h, 1) for p in A)
+
+
+def _pl_ridge(D, eps: float):
+    """D + (eps * |trace| / 3 + 1e-8) * I — the solver/tridiag.py
+    _regularize ridge plus _block_inv's absolute floor, in plane space.
+    Every row of tr3 equals the trace (sum of sublane-rolled diagonals)."""
+    tr3 = D[0] + _sub_roll(D[0], 1) + _sub_roll(D[0], 2)
+    return (D[0] + (eps / 3.0) * jnp.abs(tr3) + 1e-8, D[1], D[2])
+
+
+def _pl_binv(D):
+    """Adjugate/cofactor 3x3 inverse in plane space. For cyclic index
+    algebra the cofactor needs no explicit signs:
+      adj[c, a] = M[c+1,a+1] M[c+2,a+2] - M[c+1,a+2] M[c+2,a+1]
+    and Minv_d[a] = adj[(a+d)%3, a] / det with every factor a sublane roll
+    of an input plane."""
+    adj = []
+    for d in range(3):
+        adj.append(
+            _sub_roll(D[(-d) % 3], d + 1) * _sub_roll(D[(-d) % 3], d + 2)
+            - _sub_roll(D[(1 - d) % 3], d + 1) * _sub_roll(D[(2 - d) % 3], d + 2)
+        )
+    det = D[0] * adj[0] + D[1] * adj[1] + D[2] * adj[2]
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    return tuple(a * inv_det for a in adj)
+
+
 def _kernel(
-    Dpl_ref, Upl_ref, UTpl_ref, Apl_ref, Gpl_ref, DinvPl_ref, b_ref,
-    eidx_ref, eblk_ref, out_ref, *,
-    K: int, cg_iters: int, n_tiles: int, Npad: int,
+    Dpl_ref, Upl_ref, UTpl_ref, b_ref, eidx_ref, eblk_ref, out_ref, *,
+    K: int, cg_iters: int, n_tiles: int, Npad: int, eps: float,
 ):
+    # ---- PCR factorization, fully in-kernel (plane space) ----------------
+    # Boundary zero-fill is implicit: L is zero at rows i < 2^k and U at
+    # rows i >= Npad - 2^k by induction from the exactly-zero initial
+    # planes, so circular lane wraps multiply into zeros.
+    Dt = tuple(Dpl_ref[d] for d in range(3))
+    Ut = tuple(Upl_ref[d] for d in range(3))
+    Lt = tuple(UTpl_ref[d] for d in range(3))   # L[i] = U[i-1]^T
+    A_steps, G_steps = [], []
+    for k in range(K):
+        h = 1 << k
+        Dt = _pl_ridge(Dt, eps)
+        Dinv = _pl_binv(Dt)
+        alpha = _pl_bmm(Lt, _pl_lane_roll(Dinv, h))
+        gamma = _pl_bmm(Ut, _pl_lane_roll(Dinv, -h))
+        A_steps.append(alpha)
+        G_steps.append(gamma)
+        Dt = _pl_sub(
+            _pl_sub(Dt, _pl_bmm(alpha, _pl_lane_roll(Ut, h))),
+            _pl_bmm(gamma, _pl_lane_roll(Lt, -h)),
+        )
+        Lt, Ut = (
+            _pl_neg(_pl_bmm(alpha, _pl_lane_roll(Lt, h))),
+            _pl_neg(_pl_bmm(gamma, _pl_lane_roll(Ut, -h))),
+        )
+    DinvF = _pl_binv(_pl_ridge(Dt, eps))
     def bmv(pl3, v):
         """pl3: indexable giving (3, Npad) planes for d=0,1,2."""
         out = pl3[0] * v
@@ -246,10 +322,10 @@ def _kernel(
             bp = _roll(b, -h, 1)   # b_{i+h}
             t = b
             for d in range(3):
-                t -= Apl_ref[k, d] * _sub_roll(bm, d)
-                t -= Gpl_ref[k, d] * _sub_roll(bp, d)
+                t -= A_steps[k][d] * _sub_roll(bm, d)
+                t -= G_steps[k][d] * _sub_roll(bp, d)
             b = t
-        return bmv(DinvPl_ref, b)
+        return bmv(DinvF, b)
 
     tiny = jnp.asarray(1e-30, b_ref.dtype)
     b = b_ref[:]
@@ -319,14 +395,10 @@ def fused_pcg_solve(
 
     damped_p = _pad_axis0(damped, Npad, eye=True)
     U_p = _pad_axis0(U, Npad)
-    A, G, Dinv = pcr_factor(damped_p, U_p)
 
     Dpl = _rot_planes(damped_p)
     Upl = _rot_planes(U_p)
     UTpl = _rot_planes(_shift_blocks(jnp.swapaxes(U_p, -1, -2), 1))
-    Apl = jax.vmap(_rot_planes)(A)
-    Gpl = jax.vmap(_rot_planes)(G)
-    DinvPl = _rot_planes(Dinv)
 
     b = jnp.zeros((3, Npad), dtype).at[:, :N].set(-sys.g.T)
 
@@ -365,11 +437,12 @@ def fused_pcg_solve(
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     x = pl.pallas_call(
         partial(
-            _kernel, K=K, cg_iters=max_iters, n_tiles=n_tiles, Npad=Npad
+            _kernel, K=K, cg_iters=max_iters, n_tiles=n_tiles, Npad=Npad,
+            eps=3e-4,
         ),
-        in_specs=[vspec] * 9,
+        in_specs=[vspec] * 6,
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct((3, Npad), dtype),
         interpret=interpret,
-    )(Dpl, Upl, UTpl, Apl, Gpl, DinvPl, b, eidx, eblk)
+    )(Dpl, Upl, UTpl, b, eidx, eblk)
     return x[:, :N].T
