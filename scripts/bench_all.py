@@ -1,8 +1,8 @@
 """Full benchmark matrix (BASELINE.json configs) — writes JSON to stdout.
 
 Configs:
-  1. intel     — GN (dense Cholesky), ATE + iterations/s
-  2. m3500     — LM + Huber on loops (PCG), ATE + iterations/s
+  1. intel     — GN (fused PCG kernel), ATE + iterations/s
+  2. m3500     — LM + Huber on loops (fused PCG kernel), ATE + iterations/s
   3. frontend  — simulated scans through the online pipeline, frames/s
   4. city10000 — large 2D graph, PCG, iterations/s
   5. sphere2500— SE(3), PCG, iterations/s
@@ -152,13 +152,14 @@ def main():
     if "intel" not in skip:
         out["intel_gn"] = bench_posegraph(
             "intel", datasets.intel_like(),
-            SolverConfig(mode="auto", max_iterations=50), iters=10,
+            SolverConfig(mode="pcg_fused", cg_max_iterations=50,
+                         max_iterations=50), iters=10,
         )
     if "m3500" not in skip:
         out["m3500_lm_huber"] = bench_posegraph(
             "m3500", datasets.m3500(),
-            SolverConfig(mode="pcg", cg_max_iterations=50, use_huber_on_loops=True,
-                         max_iterations=80),
+            SolverConfig(mode="pcg_fused", cg_max_iterations=50,
+                         use_huber_on_loops=True, max_iterations=80),
             iters=25,
         )
     if "city10000" not in skip and not args.quick:
