@@ -59,8 +59,24 @@ def main():
     log(f"m3500: chi2 {float(chi2(poses0, graph)):.1f} -> "
         f"{float(chi2(out, graph)):.1f} in {iters} GN iters; "
         f"ATE {ate0:.3f} -> {ate:.3f}")
-    if not (ate < 0.5 * ate0):
-        log("WARNING: optimizer did not improve ATE enough; benchmark invalid")
+    valid = ate < 0.5 * ate0
+    if not valid:
+        # HARD gate: a broken solver must not post a throughput number.
+        log("ERROR: optimizer did not improve ATE enough; benchmark invalid")
+        print(
+            json.dumps(
+                {
+                    "metric": "m3500_gn_iterations_per_s",
+                    "value": 0.0,
+                    "unit": "iterations/s",
+                    "vs_baseline": 0.0,
+                    "valid": False,
+                    "ate_init": round(ate0, 4),
+                    "ate_final": round(ate, 4),
+                }
+            )
+        )
+        sys.exit(1)
 
     # --- timed section: steady-state GN iteration throughput ----------------
     # Each iteration = full linearize (4.6k factors) + block normal equations

@@ -8,15 +8,22 @@ psum (ICI within a slice, DCN across hosts), each device solves the
 locally. The only cross-device traffic all solve long is the (Q*T)^2
 separator matrix + rhs — the textbook 'combine separator systems via
 all-reduce' layout of the north star.
+
+Compile hygiene: the shard_map body and both public entry points are
+module-level jitted functions (static on (mesh, axis) only), so a given
+graph topology compiles ONCE; the GN driver scans its iterations on-device
+like parallel/dist.py — no per-iteration host dispatch.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from graphslam_tpu.solver.normal_eq import BlockSystem
 from graphslam_tpu.solver.schur import SchurPlan, _assemble
@@ -40,20 +47,68 @@ def pad_plan(plan: SchurPlan, n_dev: int) -> SchurPlan:
     )
 
 
-def dist_schur_solve(
-    plan: SchurPlan,
-    sys: BlockSystem,
-    lam,
-    mesh: Mesh,
-    axis: str = "dev",
-    lm_diag_scaling: bool = True,
-) -> jnp.ndarray:
-    """Distributed version of solver.schur.schur_solve. The assembly runs
-    replicated (it is cheap scatter work over edges); the expensive per-block
-    factorizations and Schur products run block-sharded."""
-    n_dev = mesh.shape[axis]
-    plan = pad_plan(plan, n_dev)
+def _plan_tree(plan: SchurPlan) -> dict:
+    """The plan's array fields as a jit-traceable pytree. Block/slot counts
+    are recovered from shapes inside the trace (so the jit cache keys on
+    topology SHAPE, not plan object identity)."""
+    return {
+        "interior_ids": jnp.asarray(plan.interior_ids),
+        "interior_mask": jnp.asarray(plan.interior_mask),
+        "sep_ids": jnp.asarray(plan.sep_ids),
+        "sep_mask": jnp.asarray(plan.sep_mask),
+        "e_case": jnp.asarray(plan.e_case),
+        "e_block": jnp.asarray(plan.e_block),
+        "e_li": jnp.asarray(plan.e_li),
+        "e_lj": jnp.asarray(plan.e_lj),
+        "e_si": jnp.asarray(plan.e_si),
+        "e_sj": jnp.asarray(plan.e_sj),
+    }
+
+
+def _rebuild_plan(tree: dict, num_poses: int) -> SchurPlan:
+    B, S = tree["interior_ids"].shape
+    q = tree["sep_ids"].shape[0]
+    return SchurPlan(
+        num_poses=num_poses, B=B, S=S, Q=q, q_pad=q,
+        pose_block=None, pose_slot=None, **tree,
+    )
+
+
+def _body(A_loc, B_loc, bI_loc, C_rep, bS_rep, *, axis: str):
+    """Per-shard interior elimination + separator combine (runs under
+    shard_map; blocks sharded over `axis`, separator replicated)."""
+    ST = A_loc.shape[-1]
+    qT = C_rep.shape[-1]
+    eye = jnp.eye(ST, dtype=A_loc.dtype)
+    L = jnp.linalg.cholesky(A_loc + 1e-8 * eye)
+
+    def block_solve(Lb, rhs):
+        y = jax.scipy.linalg.solve_triangular(Lb, rhs, lower=True)
+        return jax.scipy.linalg.solve_triangular(Lb.T, y, lower=False)
+
+    W = jax.vmap(block_solve)(L, B_loc)
+    u = jax.vmap(block_solve)(L, bI_loc[..., None])[..., 0]
+
+    # Separator combine: the one all-reduce of the whole solve.
+    S_part = jnp.einsum("bip,biq->pq", B_loc, W)
+    r_part = jnp.einsum("bip,bi->p", B_loc, u)
+    S_hat = C_rep - jax.lax.psum(S_part, axis)
+    rhs_hat = bS_rep - jax.lax.psum(r_part, axis)
+
+    Ls = jnp.linalg.cholesky(S_hat + 1e-8 * jnp.eye(qT, dtype=A_loc.dtype))
+    ys = jax.scipy.linalg.solve_triangular(Ls, rhs_hat, lower=True)
+    xS = jax.scipy.linalg.solve_triangular(Ls.T, ys, lower=False)
+
+    xI = u - jnp.einsum("bip,p->bi", W, xS)
+    return xI, xS
+
+
+def _schur_dx(plan_tree, sys: BlockSystem, lam, mesh, axis, lm_diag_scaling):
+    """Assemble + sharded eliminate + scatter: dx (N, T). Traced body shared
+    by the one-shot solve and the GN scan."""
     T = sys.g.shape[-1]
+    N = sys.g.shape[0]
+    plan = _rebuild_plan(plan_tree, N)
     B, S, q = plan.B, plan.S, plan.q_pad
 
     HII, HIS, HSS, gI, gS = _assemble(plan, sys, lam, lm_diag_scaling)
@@ -63,55 +118,65 @@ def dist_schur_solve(
     bI = -gI.reshape(B, S * T)
     bS = -gS.reshape(q * T)
 
-    bsh = NamedSharding(mesh, P(axis))
-    A = jax.device_put(A, bsh)
-    Bm = jax.device_put(Bm, bsh)
-    bI = jax.device_put(bI, bsh)
-
-    def body(A_loc, B_loc, bI_loc, C_rep, bS_rep):
-        eye = jnp.eye(S * T, dtype=A_loc.dtype)
-        L = jnp.linalg.cholesky(A_loc + 1e-8 * eye)
-
-        def block_solve(Lb, rhs):
-            y = jax.scipy.linalg.solve_triangular(Lb, rhs, lower=True)
-            return jax.scipy.linalg.solve_triangular(Lb.T, y, lower=False)
-
-        W = jax.vmap(block_solve)(L, B_loc)
-        u = jax.vmap(block_solve)(L, bI_loc[..., None])[..., 0]
-
-        # Separator combine: the one all-reduce of the whole solve.
-        S_part = jnp.einsum("bip,biq->pq", B_loc, W)
-        r_part = jnp.einsum("bip,bi->p", B_loc, u)
-        S_hat = C_rep - jax.lax.psum(S_part, axis)
-        rhs_hat = bS_rep - jax.lax.psum(r_part, axis)
-
-        Ls = jnp.linalg.cholesky(S_hat + 1e-8 * jnp.eye(q * T, dtype=A_loc.dtype))
-        ys = jax.scipy.linalg.solve_triangular(Ls, rhs_hat, lower=True)
-        xS = jax.scipy.linalg.solve_triangular(Ls.T, ys, lower=False)
-
-        xI = u - jnp.einsum("bip,p->bi", W, xS)
-        return xI, xS
-
     fn = shard_map(
-        body,
+        partial(_body, axis=axis),
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P()),
     )
-    xI, xS = jax.jit(fn)(A, Bm, bI, C, bS)
+    xI, xS = fn(A, Bm, bI, C, bS)
 
-    dx = jnp.zeros((plan.num_poses, T), sys.g.dtype)
-    int_ids = jnp.asarray(plan.interior_ids)
-    imask = jnp.asarray(plan.interior_mask)
-    dx = dx.at[jnp.maximum(int_ids, 0)].add(
+    dx = jnp.zeros((N, T), sys.g.dtype)
+    imask = plan_tree["interior_mask"]
+    dx = dx.at[jnp.maximum(plan_tree["interior_ids"], 0)].add(
         jnp.where(imask[..., None], xI.reshape(B, S, T), 0.0)
     )
-    sep_ids = jnp.asarray(plan.sep_ids)
-    smask = jnp.asarray(plan.sep_mask)
-    dx = dx.at[jnp.maximum(sep_ids, 0)].add(
+    smask = plan_tree["sep_mask"]
+    dx = dx.at[jnp.maximum(plan_tree["sep_ids"], 0)].add(
         jnp.where(smask[:, None], xS.reshape(q, T), 0.0)
     )
     return dx
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "lm_diag_scaling"))
+def _solve_jit(plan_tree, sys, lam, mesh, axis, lm_diag_scaling):
+    return _schur_dx(plan_tree, sys, lam, mesh, axis, lm_diag_scaling)
+
+
+def dist_schur_solve(
+    plan: SchurPlan,
+    sys: BlockSystem,
+    lam,
+    mesh: Mesh,
+    axis: str = "dev",
+    lm_diag_scaling: bool = True,
+) -> jnp.ndarray:
+    """Distributed version of solver.schur.schur_solve. The assembly runs
+    replicated (cheap scatter work over edges); the expensive per-block
+    factorizations and Schur products run block-sharded. One compile per
+    graph topology (plan arrays are traced, not baked)."""
+    plan = pad_plan(plan, mesh.shape[axis])
+    return _solve_jit(
+        _plan_tree(plan), sys, jnp.asarray(lam, sys.g.dtype), mesh, axis,
+        lm_diag_scaling,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "iterations"))
+def _gn_scan(poses0, graph, plan_tree, lam, mesh, axis, iterations):
+    from graphslam_tpu.factors.linearize import linearize
+    from graphslam_tpu.geometry import se3 as se3_mod
+    from graphslam_tpu.solver.lm import _retract_all
+    from graphslam_tpu.solver.normal_eq import build_blocks
+
+    def body(poses, _):
+        lin = linearize(poses, graph)
+        sys = build_blocks(lin, graph, poses.shape[0])
+        dx = _schur_dx(plan_tree, sys, lam, mesh, axis, True)
+        return _retract_all(poses, dx), None
+
+    poses, _ = jax.lax.scan(body, poses0, None, length=iterations)
+    return poses
 
 
 def dist_schur_gn_solve(
@@ -125,18 +190,11 @@ def dist_schur_gn_solve(
 ):
     """Gauss-Newton with the mesh-sharded partitioned-Schur DIRECT solve as
     the inner linear solver — BASELINE config 5 end-to-end (sphere2500-class
-    SE(3) graphs across hosts). Linearization is replicated (cheap); the
-    per-block factorizations are the sharded heavy lift."""
-    from graphslam_tpu.factors.linearize import group_for, linearize
-    from graphslam_tpu.solver.normal_eq import build_blocks
-    from graphslam_tpu.geometry import se3 as se3_mod
-
-    g = group_for(graph.tangent_dim)
-    for _ in range(iterations):
-        lin = linearize(poses, graph)
-        sys = build_blocks(lin, graph, poses.shape[0])
-        dx = dist_schur_solve(plan, sys, jnp.asarray(lam, poses.dtype), mesh, axis)
-        poses = g.retract(poses, dx)
-        if poses.shape[-1] == 12:
-            poses = se3_mod.renormalize(poses)
-    return poses
+    SE(3) graphs across hosts). The whole GN loop is ONE on-device lax.scan
+    (like parallel/dist.py): linearization replicated (cheap), per-block
+    factorizations sharded, one psum per iteration."""
+    plan = pad_plan(plan, mesh.shape[axis])
+    return _gn_scan(
+        poses, graph, _plan_tree(plan), jnp.asarray(lam, poses.dtype), mesh,
+        axis, iterations,
+    )

@@ -27,6 +27,7 @@ BUFFER_DEPTH = 1000  # odometry.cpp:74
 class OdometryBuffer:
     times: jnp.ndarray   # (B,)
     poses: jnp.ndarray   # (B, 3)
+    covs: jnp.ndarray    # (B, 3, 3) body-frame covariance at each stamp
     valid: jnp.ndarray   # (B,)
     head: jnp.ndarray    # () int32 next write slot
     pose: jnp.ndarray    # (3,) current integrated pose
@@ -37,6 +38,7 @@ def init_buffer(depth: int = BUFFER_DEPTH, dtype=jnp.float32) -> OdometryBuffer:
     return OdometryBuffer(
         times=jnp.full((depth,), -jnp.inf, dtype),
         poses=jnp.zeros((depth, 3), dtype),
+        covs=jnp.zeros((depth, 3, 3), dtype),
         valid=jnp.zeros((depth,), bool),
         head=jnp.int32(0),
         pose=jnp.zeros((3,), dtype),
@@ -54,15 +56,19 @@ def integrate_twist(
     """One integration tick (the odometry.cpp:139-206 loop body, enabled)."""
     delta = twist * dt
     new_pose = se2.compose(buf.pose, delta)
-    # Covariance transported through the motion and grown by the step model.
-    Ad = se2.adjoint(se2.exp(delta))
-    Ad_inv = jnp.linalg.inv(Ad)
+    # Covariance transported through the motion and grown by the step model:
+    # C_{t+1} = Ad(delta)^{-1} C_t Ad(delta)^{-T} + Q_step, with Ad the GROUP
+    # adjoint of the relative pose applied in `compose` above (the adjoint is
+    # a homomorphism, so interval transports compose exactly — see
+    # query_interval).
+    Ad_inv = se2.adjoint(se2.inverse(delta))
     grown = Ad_inv @ buf.cov @ Ad_inv.T + motion_covariance(delta, cfg)
     depth = buf.times.shape[0]
     h = buf.head % depth
     return buf.replace(
         times=buf.times.at[h].set(t),
         poses=buf.poses.at[h].set(new_pose),
+        covs=buf.covs.at[h].set(grown),
         valid=buf.valid.at[h].set(True),
         head=buf.head + 1,
         pose=new_pose,
@@ -70,10 +76,11 @@ def integrate_twist(
     )
 
 
-def _pose_at(buf: OdometryBuffer, t: jnp.ndarray) -> jnp.ndarray:
-    """Pose at the buffered timestamp nearest to t."""
+def _entry_at(buf: OdometryBuffer, t: jnp.ndarray):
+    """(pose, covariance) at the buffered timestamp nearest to t."""
     dt = jnp.where(buf.valid, jnp.abs(buf.times - t), jnp.inf)
-    return buf.poses[jnp.argmin(dt)]
+    k = jnp.argmin(dt)
+    return buf.poses[k], buf.covs[k]
 
 
 def query_interval(
@@ -82,9 +89,23 @@ def query_interval(
     t_end: jnp.ndarray,
     cfg: FrontendConfig = FrontendConfig(),
 ):
-    """Relative pose (and motion-scaled covariance) between the buffered
-    poses nearest to t_start and t_end — the OdometryBuffer.srv contract."""
-    a = _pose_at(buf, t_start)
-    b = _pose_at(buf, t_end)
+    """Relative pose and TRANSPORTED covariance between the buffered poses
+    nearest to t_start and t_end — the OdometryBuffer.srv contract
+    (odometry.cpp:84-116's intended semantics).
+
+    The per-entry covariances follow C_b = Ad(delta)^{-1} C_a Ad(delta)^{-T}
+    + Q_ab (integrate_twist), so the noise accumulated strictly inside the
+    interval is recovered exactly:  Q_ab = C_b - Ad(D)^{-1} C_a Ad(D)^{-T}
+    with D = between(a, b). Symmetrized with a small PSD floor against f32
+    rounding."""
+    a, Ca = _entry_at(buf, t_start)
+    b, Cb = _entry_at(buf, t_end)
     delta = se2.between(a, b)
-    return delta, motion_covariance(delta, cfg)
+    Ad_inv = se2.adjoint(se2.inverse(delta))
+    Q = Cb - Ad_inv @ Ca @ Ad_inv.T
+    Q = 0.5 * (Q + Q.T)
+    # PSD floor: rounding (or a query straddling the ring-buffer overwrite
+    # horizon) can leave a slightly indefinite difference.
+    eigmin = jnp.min(jnp.linalg.eigvalsh(Q))
+    Q = Q + (jnp.maximum(0.0, -eigmin) + 1e-12) * jnp.eye(3, dtype=Q.dtype)
+    return delta, Q

@@ -35,6 +35,37 @@ class TestOdometryBuffer:
         assert np.allclose(delta[0], 0.9, atol=0.06)
         assert cov[0, 0] > 0
 
+    def test_interval_covariance_is_transported(self):
+        # Q_ab from query_interval must equal the noise accumulated strictly
+        # inside the interval: replaying the integrate_twist recursion from a
+        # zero covariance starting at t_start reproduces it exactly.
+        from graphslam_tpu.frontend.keyframes import motion_covariance
+        from graphslam_tpu.config import FrontendConfig
+
+        cfg = FrontendConfig()
+        buf = init_buffer(depth=64)
+        tw = jnp.array([1.0, 0.2, 0.3])
+        dt = jnp.float32(0.1)
+        for k in range(12):
+            buf = integrate_twist(buf, tw, dt, jnp.float32(k * 0.1), cfg)
+
+        start_k, end_k = 3, 11
+        delta, Q = query_interval(
+            buf, jnp.float32(start_k * 0.1), jnp.float32(end_k * 0.1), cfg
+        )
+        # Independent replay of steps start_k+1 .. end_k with C(start_k) = 0.
+        C = jnp.zeros((3, 3))
+        d = np.asarray(tw) * 0.1
+        Ad_inv = np.asarray(se2.adjoint(se2.inverse(jnp.asarray(d))))
+        for _ in range(start_k + 1, end_k + 1):
+            C = Ad_inv @ C @ Ad_inv.T + np.asarray(
+                motion_covariance(jnp.asarray(d), cfg)
+            )
+        assert np.allclose(Q, C, atol=1e-5), (np.asarray(Q), np.asarray(C))
+        # And the delta matches the relative pose between the two stamps.
+        expect = se2.between(buf.poses[start_k], buf.poses[end_k])
+        assert np.allclose(delta, expect, atol=1e-6)
+
     def test_ring_wraps(self):
         buf = init_buffer(depth=8)
         for k in range(20):
