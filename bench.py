@@ -46,10 +46,11 @@ def main():
     # One jit signature serves both the correctness gate and the timed
     # section — remote compiles are expensive on this platform.
     # cg=25 + the chain preconditioner reaches better per-iteration chi2
-    # than jacobi/cg=50 at ~equal cost (RESULTS.md sweep). pcg_fused runs
-    # the whole CG loop in one Pallas kernel (ops/pcg_kernel.py).
+    # than jacobi/cg=50 at ~equal cost (RESULTS.md sweep). gn_fused runs
+    # the ENTIRE GN loop — linearize, assembly, PCR preconditioner, CG,
+    # retract, all 50 iterations — in one Pallas kernel (ops/gn_kernel.py).
     iters = 50
-    mode = "pcg_fused"
+    mode = "gn_fused"
     tcfg = SolverConfig(mode=mode, cg_max_iterations=25, cg_tol=1e-7)
 
     # --- correctness gate: GN must reach the optimum basin ------------------

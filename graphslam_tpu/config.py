@@ -104,6 +104,16 @@ class FrontendConfig:
     k_rot_disp: float = 0.1
     k_rot_rot: float = 0.1
 
+    # Match-informed factor covariance: when a registration is trusted, the
+    # factor noise is the scaled inverse of the GICP IRLS Hessian (the match
+    # Fisher information) instead of the motion-magnitude model alone —
+    # anisotropic, so weakly-observed directions (corridors) carry inflated
+    # variance rather than the reference's binary accept/reject
+    # (scanner.hpp:64-80). The motion model contributes a floor scaled by
+    # match_cov_motion_floor.
+    use_match_covariance: bool = True
+    match_cov_motion_floor: float = 0.1
+
     dtype: str = "float32"
 
 
@@ -130,6 +140,11 @@ class SLAMConfig:
     # was disabled entirely, graph.cpp:195; we enable it).
     solve_every: int = 1
     solve_iterations: int = 8
+    # Occupancy bucketing: periodic solves run over the smallest power-of-two
+    # pose window >= num_kf (and >= this floor), so solve cost tracks the
+    # live map instead of max_keyframes. Each bucket is one extra solver
+    # compilation.
+    solve_bucket_min: int = 128
 
     # Scan-to-map matching: the odometry match's target is the union of the
     # last K keyframes' points expressed in the last keyframe's (optimized)

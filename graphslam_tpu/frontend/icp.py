@@ -47,6 +47,11 @@ class MatchResult(NamedTuple):
                               #    (corridor case: translation along the wall
                               #    unobservable — the delta slides freely and
                               #    must not be trusted as a factor)
+    hessian: jnp.ndarray      # (3, 3) final IRLS Gauss-Newton Hessian
+                              #    J^T M J — the Fisher information of the
+                              #    registration; scaled, it provides the
+                              #    match-informed factor covariance (fixes
+                              #    scanner.hpp:64-80's magnitude-only model)
 
 
 def estimate_normals(points: jnp.ndarray, mask: jnp.ndarray, half_window: int):
@@ -259,4 +264,5 @@ def gicp_match(
         converged=last_upd < tol,
         mahal_rmse=jnp.sqrt(sum_mahal / n_safe),
         degenerate=degenerate,
+        hessian=H_last,
     )

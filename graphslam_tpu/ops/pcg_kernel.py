@@ -222,17 +222,21 @@ def _pl_binv(D):
     return tuple(a * inv_det for a in adj)
 
 
-def _kernel(
-    Dpl_ref, Upl_ref, UTpl_ref, b_ref, eidx_ref, eblk_ref, out_ref, *,
-    K: int, cg_iters: int, n_tiles: int, Npad: int, eps: float,
-):
-    # ---- PCR factorization, fully in-kernel (plane space) ----------------
-    # Boundary zero-fill is implicit: L is zero at rows i < 2^k and U at
-    # rows i >= Npad - 2^k by induction from the exactly-zero initial
-    # planes, so circular lane wraps multiply into zeros.
-    Dt = tuple(Dpl_ref[d] for d in range(3))
-    Ut = tuple(Upl_ref[d] for d in range(3))
-    Lt = tuple(UTpl_ref[d] for d in range(3))   # L[i] = U[i-1]^T
+def _pl_pcr_factor(Dt, Ut, Lt, K: int, eps: float, store_dtype=None):
+    """In-kernel PCR factorization over plane sets.
+
+    Boundary zero-fill is implicit: L is zero at rows i < 2^k and U at
+    rows i >= Npad - 2^k by induction from the exactly-zero initial
+    planes, so circular lane wraps multiply into zeros.
+
+    Returns (A_steps, G_steps, DinvF): the per-level elimination plane sets
+    and the final decoupled-diagonal inverse. store_dtype (e.g. bf16) casts
+    the stored alpha/gamma coefficient planes — preconditioner-only, CG
+    corrects the rounding; at city10000 sizes the K*6 plane stack is the
+    dominant VMEM tenant.
+    """
+    cast = (lambda P: tuple(p.astype(store_dtype) for p in P)) if store_dtype \
+        else (lambda P: P)
     A_steps, G_steps = [], []
     for k in range(K):
         h = 1 << k
@@ -240,8 +244,8 @@ def _kernel(
         Dinv = _pl_binv(Dt)
         alpha = _pl_bmm(Lt, _pl_lane_roll(Dinv, h))
         gamma = _pl_bmm(Ut, _pl_lane_roll(Dinv, -h))
-        A_steps.append(alpha)
-        G_steps.append(gamma)
+        A_steps.append(cast(alpha))
+        G_steps.append(cast(gamma))
         Dt = _pl_sub(
             _pl_sub(Dt, _pl_bmm(alpha, _pl_lane_roll(Ut, h))),
             _pl_bmm(gamma, _pl_lane_roll(Lt, -h)),
@@ -251,6 +255,41 @@ def _kernel(
             _pl_neg(_pl_bmm(gamma, _pl_lane_roll(Ut, -h))),
         )
     DinvF = _pl_binv(_pl_ridge(Dt, eps))
+    return A_steps, G_steps, DinvF
+
+
+def _pl_bmv(pl3, v):
+    """Block-diagonal matvec in plane space: pl3 indexable -> (3, Npad)."""
+    out = pl3[0] * v
+    out += pl3[1] * _sub_roll(v, 1)
+    out += pl3[2] * _sub_roll(v, 2)
+    return out
+
+
+def _pl_pcr_apply(A_steps, G_steps, DinvF, b):
+    """Apply the PCR preconditioner to b (3, Npad) inside a kernel."""
+    for k in range(len(A_steps)):  # static unroll; h is a Python int
+        h = 1 << k
+        bm = _roll(b, h, 1)    # b_{i-h} (coef zero where invalid)
+        bp = _roll(b, -h, 1)   # b_{i+h}
+        t = b
+        for d in range(3):
+            t -= A_steps[k][d].astype(b.dtype) * _sub_roll(bm, d)
+            t -= G_steps[k][d].astype(b.dtype) * _sub_roll(bp, d)
+        b = t
+    return _pl_bmv(DinvF, b)
+
+
+def _kernel(
+    Dpl_ref, Upl_ref, UTpl_ref, b_ref, eidx_ref, eblk_ref, out_ref, *,
+    K: int, cg_iters: int, n_tiles: int, Npad: int, eps: float,
+):
+    # ---- PCR factorization, fully in-kernel (plane space) ----------------
+    Dt = tuple(Dpl_ref[d] for d in range(3))
+    Ut = tuple(Upl_ref[d] for d in range(3))
+    Lt = tuple(UTpl_ref[d] for d in range(3))   # L[i] = U[i-1]^T
+    A_steps, G_steps, DinvF = _pl_pcr_factor(Dt, Ut, Lt, K, eps)
+
     def bmv(pl3, v):
         """pl3: indexable giving (3, Npad) planes for d=0,1,2."""
         out = pl3[0] * v
@@ -316,16 +355,7 @@ def _kernel(
         return out
 
     def precond(b):
-        for k in range(K):          # static unroll; h is a Python int
-            h = 1 << k
-            bm = _roll(b, h, 1)    # b_{i-h} (coef zero where invalid)
-            bp = _roll(b, -h, 1)   # b_{i+h}
-            t = b
-            for d in range(3):
-                t -= A_steps[k][d] * _sub_roll(bm, d)
-                t -= G_steps[k][d] * _sub_roll(bp, d)
-            b = t
-        return bmv(DinvF, b)
+        return _pl_pcr_apply(A_steps, G_steps, DinvF, b)
 
     tiny = jnp.asarray(1e-30, b_ref.dtype)
     b = b_ref[:]

@@ -10,6 +10,14 @@ recompiles as the map grows.
 Of the reference's two GICP registrations (scanner.cpp:115,141), the
 odometry match runs every step and the loop probe runs under lax.cond only
 when a spatial candidate is plausible — most steps skip it entirely.
+
+Periodic solves are OCCUPANCY-BUCKETED: the graph is solved over the
+smallest power-of-two pose window covering the live keyframes (lax.switch
+over a handful of statically-shaped solver instances), so solve cost tracks
+the actual map size, not the preallocated capacity. Odometry factors live in
+chain slots (slam/state.py), giving the online graph the same
+chain_prefix structure as offline datasets — the fused Pallas solvers
+(cfg.solver.mode = "gn_fused"/"pcg_fused") apply unchanged.
 """
 
 from __future__ import annotations
@@ -28,7 +36,7 @@ from graphslam_tpu.frontend.keyframes import motion_covariance
 from graphslam_tpu.frontend.projection import beam_angles, scan_to_points
 from graphslam_tpu.geometry import se2
 from graphslam_tpu.slam.state import SLAMState, init_state
-from graphslam_tpu.solver.lm import _gn_loop
+from graphslam_tpu.solver.lm import _gn_loop, _solve_mode
 
 
 class StepInfo(NamedTuple):
@@ -44,32 +52,57 @@ class StepInfo(NamedTuple):
     at_capacity: jnp.ndarray
 
 
-def graph_view(state: SLAMState, cfg: SLAMConfig) -> FactorGraph:
-    """A FactorGraph view over the state arrays (no copies).
+def graph_view(state: SLAMState, cfg: SLAMConfig, size: Optional[int] = None) -> FactorGraph:
+    """A FactorGraph view over the first `size` pose slots (static; default =
+    full capacity).
 
-    Inactive poses (index >= num_kf) get identity priors anchored at their
-    current values — zero residual, but keeps the masked normal equations
-    nonsingular so one solver compilation serves every map size.
+    Chain factors occupy the first `size-1` edge slots as literal (k, k+1)
+    pairs — FactorGraph.chain_prefix applies, enabling the scatter-free
+    assembly and the fused kernels. Inactive poses (index >= num_kf) get
+    identity priors anchored at their current values — zero residual, but
+    keeps the masked normal equations nonsingular so one solver compilation
+    serves every map size within the bucket.
     """
-    K = state.kf_poses.shape[0]
+    K = state.kf_poses.shape[0] if size is None else size
+    dtype = state.kf_poses.dtype
     idx = jnp.arange(K)
     inactive = idx >= state.num_kf
     prior_mask = (idx == 0) | inactive
-    anchor_info_sqrt = jnp.eye(3, dtype=state.kf_poses.dtype) / cfg.prior_sigma_xy
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=state.kf_poses.dtype), (K, 3, 3))
+    anchor_info_sqrt = jnp.eye(3, dtype=dtype) / cfg.prior_sigma_xy
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (K, 3, 3))
     prior_sqrt = jnp.where((idx == 0)[:, None, None], anchor_info_sqrt, eye)
-    prior_meas = jnp.where((idx == 0)[:, None], state.anchor, state.kf_poses)
+    prior_meas = jnp.where((idx == 0)[:, None], state.anchor, state.kf_poses[:K])
+
+    c = K - 1
+    chain_edges = jnp.stack([jnp.arange(c), jnp.arange(1, K)], axis=1).astype(jnp.int32)
+    F = state.loop_edges.shape[0]
     return FactorGraph(
-        edges=state.edges,
-        measurements=state.meas,
-        sqrt_info=state.sqrt_info,
-        edge_mask=state.edge_mask,
-        is_loop=state.is_loop,
+        chain_prefix=c,
+        edges=jnp.concatenate([chain_edges, state.loop_edges], axis=0),
+        measurements=jnp.concatenate([state.chain_meas[:c], state.loop_meas], axis=0),
+        sqrt_info=jnp.concatenate(
+            [state.chain_sqrt_info[:c], state.loop_sqrt_info], axis=0
+        ),
+        edge_mask=jnp.concatenate([state.chain_mask[:c], state.loop_mask], axis=0),
+        is_loop=jnp.concatenate(
+            [jnp.zeros((c,), bool), jnp.ones((F,), bool)], axis=0
+        ),
         prior_idx=idx.astype(jnp.int32),
         prior_meas=prior_meas,
         prior_sqrt_info=prior_sqrt,
         prior_mask=prior_mask,
     )
+
+
+def _solve_buckets(capacity: int, min_bucket: int):
+    """Static power-of-two pose-window sizes covering [min_bucket, capacity]."""
+    sizes = []
+    b = min(min_bucket, capacity)
+    while b < capacity:
+        sizes.append(b)
+        b *= 2
+    sizes.append(capacity)
+    return sizes
 
 
 def _sqrt_info_from_cov(cov: jnp.ndarray) -> jnp.ndarray:
@@ -80,6 +113,30 @@ def _sqrt_info_from_cov(cov: jnp.ndarray) -> jnp.ndarray:
     # info = Linv^T Linv, so U = Linv works: U^T U = info, U lower->no; take
     # Linv itself (triangularity is irrelevant to the solver, only U^T U).
     return Linv
+
+
+def _factor_covariance(res: MatchResult, delta, fcfg, use_match):
+    """Measurement covariance for a committed factor.
+
+    When the match is trusted, use the GICP IRLS Hessian — the Fisher
+    information of the registration — scaled by the residual-consistency
+    factor s = max(mahal_rmse^2 / 2, 1) (never deflate below nominal), plus
+    a fraction of the motion model as a floor. Anisotropy (e.g. corridor
+    degeneracy) shows up as inflated variance along the weak direction
+    instead of the reference's binary accept/reject (fixes scanner.hpp:64-80
+    which modeled only motion magnitude). Falls back to the pure motion
+    model when the match was rejected.
+    """
+    mc = motion_covariance(delta, fcfg)
+    if not fcfg.use_match_covariance:
+        return mc
+    s = jnp.maximum(res.mahal_rmse**2 / 2.0, 1.0)
+    eye = jnp.eye(3, dtype=delta.dtype)
+    cov_match = s * jnp.linalg.inv(res.hessian + 1e-8 * eye)
+    cov_match = cov_match + fcfg.match_cov_motion_floor * mc + 1e-8 * eye
+    # symmetrize (inv of near-symmetric H)
+    cov_match = 0.5 * (cov_match + cov_match.T)
+    return jnp.where(use_match, cov_match, mc)
 
 
 def make_slam_step(cfg: SLAMConfig):
@@ -174,6 +231,7 @@ def make_slam_step(cfg: SLAMConfig):
                 delta=zero3, fitness=f, inlier_rms=f + 1e9,
                 matched_frac=f, converged=jnp.bool_(False),
                 mahal_rmse=f + 1e9, degenerate=jnp.bool_(True),
+                hessian=jnp.eye(3, dtype=pts.dtype),
             )
 
         res_loop = jax.lax.cond(loop_plausible, do_probe, skip_probe, None)
@@ -191,10 +249,9 @@ def make_slam_step(cfg: SLAMConfig):
             | (jnp.linalg.norm(res_odo.delta[:2]) > fcfg.keyframe_trans_threshold)
             | (jnp.abs(res_odo.delta[2]) > fcfg.keyframe_rot_threshold)
         )
-        # Capacity guard: stop committing when arrays are full (2 factor
-        # slots may be needed per keyframe: odometry + loop).
+        # Capacity guard: stop committing when arrays are full.
         at_capacity = (state.num_kf >= state.kf_poses.shape[0]) | (
-            state.num_factors >= state.edges.shape[0] - 2
+            state.num_loops >= state.loop_edges.shape[0] - 1
         )
         is_kf = (first | (moved_enough & odo_ok)) & ~at_capacity
 
@@ -223,60 +280,86 @@ def make_slam_step(cfg: SLAMConfig):
         )
         num_kf = state.num_kf + jnp.where(is_kf, 1, 0).astype(jnp.int32)
 
-        # --- factors --------------------------------------------------------
-        F = state.edges.shape[0]
+        # --- odometry factor -> chain slot last_idx (couples last_idx, ki) --
         add_odo = is_kf & ~first
-        cov = motion_covariance(delta, fcfg)
+        cov = _factor_covariance(res_odo, delta, fcfg, odo_ok)
         si = _sqrt_info_from_cov(cov)
-        f0 = jnp.minimum(state.num_factors, F - 1)
-        edges = state.edges.at[f0].set(
-            jnp.where(add_odo, jnp.stack([last_idx, ki]).astype(jnp.int32), state.edges[f0])
+        chain_meas = state.chain_meas.at[last_idx].set(
+            jnp.where(add_odo, delta, state.chain_meas[last_idx])
         )
-        meas = state.meas.at[f0].set(jnp.where(add_odo, delta, state.meas[f0]))
-        sqrt_info = state.sqrt_info.at[f0].set(
-            jnp.where(add_odo, si, state.sqrt_info[f0])
+        chain_sqrt_info = state.chain_sqrt_info.at[last_idx].set(
+            jnp.where(add_odo, si, state.chain_sqrt_info[last_idx])
         )
-        edge_mask = state.edge_mask.at[f0].set(
-            jnp.where(add_odo, True, state.edge_mask[f0])
+        chain_mask = state.chain_mask.at[last_idx].set(
+            jnp.where(add_odo, True, state.chain_mask[last_idx])
         )
-        is_loop_arr = state.is_loop.at[f0].set(
-            jnp.where(add_odo, False, state.is_loop[f0])
-        )
-        nf = state.num_factors + jnp.where(add_odo, 1, 0).astype(jnp.int32)
 
-        loop_cov = motion_covariance(loop_delta, fcfg)
+        # --- loop factor -> next loop slot -----------------------------------
+        F = state.loop_edges.shape[0]
+        loop_cov = _factor_covariance(res_loop, loop_delta, fcfg, loop_ok)
         loop_si = _sqrt_info_from_cov(loop_cov)
-        f1 = jnp.minimum(nf, F - 1)
-        edges = edges.at[f1].set(
-            jnp.where(do_loop, jnp.stack([cand_idx, ki]).astype(jnp.int32), edges[f1])
+        f1 = jnp.minimum(state.num_loops, F - 1)
+        loop_edges = state.loop_edges.at[f1].set(
+            jnp.where(
+                do_loop,
+                jnp.stack([cand_idx, ki]).astype(jnp.int32),
+                state.loop_edges[f1],
+            )
         )
-        meas = meas.at[f1].set(jnp.where(do_loop, loop_delta, meas[f1]))
-        sqrt_info = sqrt_info.at[f1].set(jnp.where(do_loop, loop_si, sqrt_info[f1]))
-        edge_mask = edge_mask.at[f1].set(jnp.where(do_loop, True, edge_mask[f1]))
-        is_loop_arr = is_loop_arr.at[f1].set(jnp.where(do_loop, True, is_loop_arr[f1]))
-        nf = nf + jnp.where(do_loop, 1, 0).astype(jnp.int32)
+        loop_meas = state.loop_meas.at[f1].set(
+            jnp.where(do_loop, loop_delta, state.loop_meas[f1])
+        )
+        loop_sqrt_info = state.loop_sqrt_info.at[f1].set(
+            jnp.where(do_loop, loop_si, state.loop_sqrt_info[f1])
+        )
+        loop_mask = state.loop_mask.at[f1].set(
+            jnp.where(do_loop, True, state.loop_mask[f1])
+        )
+        num_loops = state.num_loops + jnp.where(do_loop, 1, 0).astype(jnp.int32)
 
         state = state.replace(
             kf_poses=kf_poses,
             kf_points=kf_points,
             kf_masks=kf_masks,
             num_kf=num_kf,
-            edges=edges,
-            meas=meas,
-            sqrt_info=sqrt_info,
-            edge_mask=edge_mask,
-            is_loop=is_loop_arr,
-            num_factors=nf,
+            chain_meas=chain_meas,
+            chain_sqrt_info=chain_sqrt_info,
+            chain_mask=chain_mask,
+            loop_edges=loop_edges,
+            loop_meas=loop_meas,
+            loop_sqrt_info=loop_sqrt_info,
+            loop_mask=loop_mask,
+            num_loops=num_loops,
             odom_accum=jnp.where(is_kf, jnp.zeros(3, pts.dtype), odom_acc),
         )
 
         # --- periodic solve (the graph.cpp:195 solve, enabled) --------------
+        # Occupancy-bucketed: lax.switch over static pose-window sizes so
+        # solve cost tracks the live map, not the capacity; each bucket
+        # threads cfg.solver.mode (fused kernels included) through _gn_loop.
         do_solve = is_kf & (num_kf % cfg.solve_every == 0) & (num_kf > 1)
+        K = state.kf_poses.shape[0]
+        buckets = _solve_buckets(K, cfg.solve_bucket_min)
 
-        def solve(s: SLAMState):
-            graph = graph_view(s, cfg)
-            poses = _gn_loop(s.kf_poses, graph, scfg, "pcg", cfg.solve_iterations)
-            return s.replace(kf_poses=poses)
+        def make_branch(B: int):
+            mode = _solve_mode(scfg, B)
+
+            def branch(s: SLAMState) -> SLAMState:
+                graph = graph_view(s, cfg, B)
+                poses = _gn_loop(
+                    s.kf_poses[:B], graph, scfg, mode, cfg.solve_iterations
+                )
+                return s.replace(kf_poses=s.kf_poses.at[:B].set(poses))
+
+            return branch
+
+        def solve(s: SLAMState) -> SLAMState:
+            if len(buckets) == 1:
+                return make_branch(buckets[0])(s)
+            bidx = sum(
+                jnp.where(s.num_kf > b, 1, 0) for b in buckets[:-1]
+            ).astype(jnp.int32)
+            return jax.lax.switch(bidx, [make_branch(b) for b in buckets], s)
 
         state = jax.lax.cond(do_solve, solve, lambda s: s, state)
 
@@ -286,7 +369,7 @@ def make_slam_step(cfg: SLAMConfig):
             fitness=odo_fitness,
             delta=delta,
             num_kf=num_kf,
-            num_factors=nf,
+            num_factors=jnp.maximum(num_kf - 1, 0) + num_loops,
             at_capacity=at_capacity,
         )
         return state, info
@@ -298,16 +381,26 @@ def state_to_dataset(state: SLAMState) -> dict:
     """Export the online map as the standard dataset dict (interoperable with
     io.g2o.save_g2o) — keyframe poses + committed factors only."""
     n = int(state.num_kf)
-    f = int(state.num_factors)
-    sqrt_info = np.asarray(state.sqrt_info[:f])
+    nl = int(state.num_loops)
+    c = max(n - 1, 0)
+    chain_edges = np.stack([np.arange(c), np.arange(1, n)], axis=1).astype(np.int32) \
+        if c else np.zeros((0, 2), np.int32)
+    edges = np.concatenate([chain_edges, np.asarray(state.loop_edges[:nl])], axis=0)
+    meas = np.concatenate(
+        [np.asarray(state.chain_meas[:c]), np.asarray(state.loop_meas[:nl])], axis=0
+    )
+    sqrt_info = np.concatenate(
+        [np.asarray(state.chain_sqrt_info[:c]), np.asarray(state.loop_sqrt_info[:nl])],
+        axis=0,
+    )
     info = np.einsum("eba,ebc->eac", sqrt_info, sqrt_info)
     return {
         "dim": 2,
         "poses": np.asarray(state.kf_poses[:n]),
-        "edges": np.asarray(state.edges[:f]),
-        "measurements": np.asarray(state.meas[:f]),
+        "edges": edges,
+        "measurements": meas,
         "information": info,
-        "is_loop": np.asarray(state.is_loop[:f]),
+        "is_loop": np.concatenate([np.zeros(c, bool), np.ones(nl, bool)]),
     }
 
 

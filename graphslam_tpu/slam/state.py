@@ -5,6 +5,13 @@ gtsam::NonlinearFactorGraph, Values — graph.cpp:5-10) with fixed-capacity
 arrays + counts, donated across steps. Growth = bumping a count and flipping
 a mask bit; the step function never recompiles. int32 ids (the reference's
 int8 overflowed at 127 keyframes — SURVEY.md §2.3).
+
+Factors are stored structurally: odometry factors live in CHAIN slots —
+slot k always couples keyframes (k, k+1), so the solver's scatter-free
+chain fast path (FactorGraph.chain_prefix, solver/normal_eq.py) and the
+fused Pallas kernels (ops/pcg_kernel.py, ops/gn_kernel.py) apply to the
+online graph exactly as they do to offline g2o datasets. Loop closures
+keep explicit endpoint indices.
 """
 
 from __future__ import annotations
@@ -24,13 +31,18 @@ class SLAMState:
     kf_masks: jnp.ndarray   # (K, P) point validity
     num_kf: jnp.ndarray     # () int32
 
-    # Factor store (the Factor.msg contract, struct-of-arrays).
-    edges: jnp.ndarray      # (F, 2) int32
-    meas: jnp.ndarray       # (F, 3)
-    sqrt_info: jnp.ndarray  # (F, 3, 3)
-    edge_mask: jnp.ndarray  # (F,)
-    is_loop: jnp.ndarray    # (F,)
-    num_factors: jnp.ndarray  # () int32
+    # Odometry (chain) factors: slot k couples keyframes (k, k+1); slot K-1
+    # is never used. The edge list is implicit.
+    chain_meas: jnp.ndarray       # (K, 3)
+    chain_sqrt_info: jnp.ndarray  # (K, 3, 3)
+    chain_mask: jnp.ndarray       # (K,)
+
+    # Loop-closure factors (the Factor.msg contract, struct-of-arrays).
+    loop_edges: jnp.ndarray      # (F, 2) int32
+    loop_meas: jnp.ndarray       # (F, 3)
+    loop_sqrt_info: jnp.ndarray  # (F, 3, 3)
+    loop_mask: jnp.ndarray       # (F,)
+    num_loops: jnp.ndarray       # () int32
 
     # Anchor (prior) for keyframe 0 — graph.cpp:38-42 semantics.
     anchor: jnp.ndarray     # (3,)
@@ -39,6 +51,12 @@ class SLAMState:
     # replacement for the odometry node's time-interval buffer queries,
     # odometry.cpp:84-116).
     odom_accum: jnp.ndarray  # (3,)
+
+    @property
+    def num_factors(self) -> jnp.ndarray:
+        """Total committed factors (chain + loops) — every keyframe after
+        the first commits exactly one odometry factor."""
+        return jnp.maximum(self.num_kf - 1, 0) + self.num_loops
 
 
 def init_state(cfg: SLAMConfig, dtype=jnp.float32) -> SLAMState:
@@ -50,12 +68,14 @@ def init_state(cfg: SLAMConfig, dtype=jnp.float32) -> SLAMState:
         kf_points=jnp.zeros((K, P, 2), dtype),
         kf_masks=jnp.zeros((K, P), bool),
         num_kf=jnp.int32(0),
-        edges=jnp.zeros((F, 2), jnp.int32),
-        meas=jnp.zeros((F, 3), dtype),
-        sqrt_info=jnp.zeros((F, 3, 3), dtype),
-        edge_mask=jnp.zeros((F,), bool),
-        is_loop=jnp.zeros((F,), bool),
-        num_factors=jnp.int32(0),
+        chain_meas=jnp.zeros((K, 3), dtype),
+        chain_sqrt_info=jnp.zeros((K, 3, 3), dtype),
+        chain_mask=jnp.zeros((K,), bool),
+        loop_edges=jnp.zeros((F, 2), jnp.int32),
+        loop_meas=jnp.zeros((F, 3), dtype),
+        loop_sqrt_info=jnp.zeros((F, 3, 3), dtype),
+        loop_mask=jnp.zeros((F,), bool),
+        num_loops=jnp.int32(0),
         anchor=jnp.zeros((3,), dtype),
         odom_accum=jnp.zeros((3,), dtype),
     )

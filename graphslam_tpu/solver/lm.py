@@ -38,6 +38,19 @@ def _solve_mode(cfg: SolverConfig, num_poses: int) -> str:
     return cfg.mode
 
 
+def _fused_pcg(sys, lam, cfg: SolverConfig, graph: FactorGraph):
+    """Dispatch the fused whole-CG-loop kernel by tangent dimension."""
+    if graph.tangent_dim == 3:
+        from graphslam_tpu.ops.pcg_kernel import fused_pcg_solve as f
+    else:
+        from graphslam_tpu.ops.pcg6_kernel import fused_pcg6_solve as f
+    return f(
+        sys, lam,
+        max_iters=cfg.cg_max_iterations,
+        chain_prefix=graph.chain_prefix,
+    )
+
+
 def _retract_all(poses: jnp.ndarray, dx: jnp.ndarray) -> jnp.ndarray:
     g = group_for(dx.shape[-1])
     out = g.retract(poses, dx)
@@ -55,6 +68,11 @@ def _linearized_system(poses, graph, cfg: SolverConfig):
 
 @partial(jax.jit, static_argnames=("cfg", "mode"))
 def _lm_loop(poses0, graph: FactorGraph, cfg: SolverConfig, mode: str) -> LMState:
+    if mode == "gn_fused":
+        # LM's accept/reject needs per-iteration chi2 on the host-of-record
+        # (the while_loop); the fully-fused GN kernel applies to gn_solve
+        # only — LM uses the fused inner solve instead.
+        mode = "pcg_fused"
     err0 = chi2(
         poses0, graph, huber_delta=cfg.huber_delta, use_huber=cfg.use_huber_on_loops
     )
@@ -84,13 +102,7 @@ def _lm_loop(poses0, graph: FactorGraph, cfg: SolverConfig, mode: str) -> LMStat
         if mode == "dense":
             dx = dense_solve(sys, s.lam)
         elif mode == "pcg_fused":
-            from graphslam_tpu.ops.pcg_kernel import fused_pcg_solve
-
-            dx = fused_pcg_solve(
-                sys, s.lam,
-                max_iters=cfg.cg_max_iterations,
-                chain_prefix=graph.chain_prefix,
-            )
+            dx = _fused_pcg(sys, s.lam, cfg, graph)
         else:
             dx = pcg_solve(
                 sys, s.lam,
@@ -162,20 +174,26 @@ def lm_solve(
 
 @partial(jax.jit, static_argnames=("cfg", "mode", "iterations"))
 def _gn_loop(poses0, graph, cfg: SolverConfig, mode: str, iterations: int):
+    if mode == "gn_fused" and graph.tangent_dim != 3:
+        mode = "pcg_fused"  # SE(3) fuses the inner solve only (pcg6 kernel)
+    if mode == "gn_fused":
+        # The whole K-iteration GN loop (linearize + assembly + PCR + CG +
+        # retract) as ONE Pallas kernel — zero per-iteration launches.
+        from graphslam_tpu.ops.gn_kernel import fused_gn_solve
+
+        return fused_gn_solve(
+            poses0, graph,
+            iterations=iterations,
+            cg_iters=cfg.cg_max_iterations,
+        )
+
     def body(poses, _):
         lin = linearize(poses, graph)
         sys = build_blocks(lin, graph, poses.shape[0])
         if mode == "dense":
             dx = dense_solve(sys, jnp.asarray(0.0, poses.dtype))
         elif mode == "pcg_fused":
-            from graphslam_tpu.ops.pcg_kernel import fused_pcg_solve
-
-            dx = fused_pcg_solve(
-                sys,
-                jnp.asarray(0.0, poses.dtype),
-                max_iters=cfg.cg_max_iterations,
-                chain_prefix=graph.chain_prefix,
-            )
+            dx = _fused_pcg(sys, jnp.asarray(0.0, poses.dtype), cfg, graph)
         else:
             dx = pcg_solve(
                 sys,

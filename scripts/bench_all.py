@@ -78,12 +78,14 @@ def bench_frontend(quick):
     from graphslam_tpu.sim import simulate_trajectory
     from graphslam_tpu.slam import make_slam_step, init_state
 
-    # Capacities sized to the mission: masked-graph solve cost scales with
-    # capacity, not occupancy, so a 4x-oversized factor budget quarters fps.
+    # Default (mission-scale) capacities: occupancy-bucketed solves keep
+    # per-step cost tracking the live map, so the 1024-keyframe budget no
+    # longer taxes a 100-keyframe run (round 1 had to shrink capacities to
+    # hold fps; the buckets fixed that).
     cfg = SLAMConfig(
-        max_keyframes=128,
-        max_factors=384,
-        solver=SolverConfig(mode="pcg", cg_max_iterations=50),
+        max_keyframes=1024,
+        max_factors=1024,
+        solver=SolverConfig(mode="gn_fused", cg_max_iterations=25),
     )
     sim = simulate_trajectory(cfg.frontend, step_len=0.25, seed=1)
     scans = sim["scans"]
@@ -152,27 +154,29 @@ def main():
     if "intel" not in skip:
         out["intel_gn"] = bench_posegraph(
             "intel", datasets.intel_like(),
-            SolverConfig(mode="pcg_fused", cg_max_iterations=50,
-                         max_iterations=50), iters=10,
+            SolverConfig(mode="gn_fused", cg_max_iterations=25,
+                         max_iterations=50), iters=25,
         )
     if "m3500" not in skip:
         out["m3500_lm_huber"] = bench_posegraph(
             "m3500", datasets.m3500(),
-            SolverConfig(mode="pcg_fused", cg_max_iterations=50,
+            SolverConfig(mode="gn_fused", cg_max_iterations=25,
                          use_huber_on_loops=True, max_iterations=80),
-            iters=25,
+            iters=50,
         )
     if "city10000" not in skip and not args.quick:
-        out["city10000_pcg"] = bench_posegraph(
+        out["city10000_gn_fused"] = bench_posegraph(
             "city10000", datasets.city10000(),
-            SolverConfig(mode="pcg", cg_max_iterations=100, max_iterations=100),
-            iters=10,
+            SolverConfig(mode="gn_fused", cg_max_iterations=50,
+                         max_iterations=100),
+            iters=20,
         )
     if "sphere2500" not in skip and not args.quick:
         out["sphere2500_se3"] = bench_posegraph(
             "sphere2500", datasets.sphere2500(),
-            SolverConfig(mode="pcg", cg_max_iterations=100, max_iterations=80),
-            iters=10,
+            SolverConfig(mode="pcg_fused", cg_max_iterations=25,
+                         max_iterations=80),
+            iters=20,
         )
     if "frontend" not in skip:
         out["frontend"] = bench_frontend(args.quick)

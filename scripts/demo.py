@@ -49,10 +49,13 @@ def main():
         state.kf_poses, state.kf_points, state.kf_masks, n,
         path=os.path.join(args.out, "demo_map.png"),
     )
+    from graphslam_tpu.slam.pipeline import state_to_dataset
+
+    ds = state_to_dataset(state)
     viz.plot_trajectory(
         np.asarray(state.kf_poses[:n]), gt=gt,
-        edges=np.asarray(state.edges[: int(state.num_factors)]),
-        is_loop=np.asarray(state.is_loop[: int(state.num_factors)]),
+        edges=ds["edges"],
+        is_loop=ds["is_loop"],
         path=os.path.join(args.out, "demo_traj.png"),
         title=f"closed-loop SLAM ({n} keyframes, ATE {ate:.2f} m)",
     )

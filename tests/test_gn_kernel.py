@@ -1,0 +1,87 @@
+"""Fused GN kernel (interpret mode) vs the XLA linearize+PCG+retract path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphslam_tpu.config import SolverConfig
+from graphslam_tpu.factors import from_dataset
+from graphslam_tpu.factors.linearize import chi2, linearize
+from graphslam_tpu.geometry import se2
+from graphslam_tpu.io import datasets
+from graphslam_tpu.ops.gn_kernel import fused_gn_solve
+from graphslam_tpu.ops.pcg_kernel import fused_pcg_solve
+from graphslam_tpu.solver.lm import _gn_loop
+from graphslam_tpu.solver.normal_eq import build_blocks
+
+
+def _graph(n_poses=260, seed=0, loop_prob=0.25):
+    data = datasets.manhattan(n_poses=n_poses, loop_prob=loop_prob, seed=seed)
+    graph = from_dataset(data)
+    return graph, jnp.asarray(data["poses"])
+
+
+def test_fused_gn_matches_xla_gn_trajectory():
+    graph, poses0 = _graph()
+    cfg = SolverConfig(mode="pcg", cg_max_iterations=25)
+    ref = _gn_loop(poses0, graph, cfg, "pcg_fused", 5)
+    out = fused_gn_solve(poses0, graph, iterations=5, cg_iters=25)
+    assert np.isfinite(np.asarray(out)).all()
+    c_ref = float(chi2(ref, graph))
+    c_out = float(chi2(out, graph))
+    assert abs(c_ref - c_out) < 1e-2 * max(c_ref, 1.0), (c_ref, c_out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_fused_gn_chain_only():
+    # no loop edges at all: n_tiles == 0 path
+    graph, poses0 = _graph(n_poses=150, loop_prob=0.0)
+    assert graph.num_edges == graph.chain_prefix
+    cfg = SolverConfig(mode="pcg", cg_max_iterations=25)
+    ref = _gn_loop(poses0, graph, cfg, "pcg_fused", 3)
+    out = fused_gn_solve(poses0, graph, iterations=3, cg_iters=25)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_fused_gn_masked_edges():
+    # masking edges must remove their influence entirely
+    graph, poses0 = _graph(n_poses=140, seed=2)
+    E = graph.num_edges
+    c = graph.chain_prefix
+    # mask the last loop edge and one chain edge near the end
+    mask = graph.edge_mask.at[E - 1].set(False).at[c - 2].set(False)
+    gm = graph.replace(edge_mask=mask)
+    cfg = SolverConfig(mode="pcg", cg_max_iterations=25)
+    ref = _gn_loop(poses0, gm, cfg, "pcg_fused", 3)
+    out = fused_gn_solve(poses0, gm, iterations=3, cg_iters=25)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_fused_gn_huber_matches_xla_irls():
+    graph, poses0 = _graph(n_poses=180, seed=4)
+    delta = 1.0
+
+    def xla_step(poses):
+        lin = linearize(poses, graph, huber_delta=delta, use_huber=True)
+        sys = build_blocks(lin, graph, poses.shape[0])
+        dx = fused_pcg_solve(
+            sys, jnp.asarray(0.0, poses.dtype), max_iters=25,
+            lm_diag_scaling=True, chain_prefix=graph.chain_prefix,
+        )
+        return se2.retract(poses, dx)
+
+    ref = poses0
+    for _ in range(3):
+        ref = xla_step(ref)
+    out = fused_gn_solve(
+        poses0, graph, iterations=3, cg_iters=25, huber_delta=delta
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-3)
+
+
+def test_gn_fused_mode_via_gn_loop():
+    graph, poses0 = _graph(n_poses=130, seed=6)
+    cfg = SolverConfig(mode="gn_fused", cg_max_iterations=25)
+    out = _gn_loop(poses0, graph, cfg, "gn_fused", 4)
+    ref = _gn_loop(poses0, graph, cfg, "pcg_fused", 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)

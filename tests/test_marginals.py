@@ -31,3 +31,31 @@ def test_uncertainty_grows_from_anchor():
     cov = marginal_covariances_dense(poses, graph)
     traces = np.asarray(jnp.einsum("nii->n", cov))
     assert traces[0] < traces[10] < traces[39]
+
+
+def test_all_pose_selected_inverse_matches_dense():
+    from graphslam_tpu.solver.marginals import marginal_covariances_all
+
+    data = datasets.manhattan(n_poses=120, loop_prob=0.25, seed=19)
+    graph = from_dataset(data)
+    poses = jnp.asarray(data["gt"])
+    dense = marginal_covariances_dense(poses, graph)
+    allc = marginal_covariances_all(poses, graph)
+    scale = np.abs(np.asarray(dense)).max()
+    np.testing.assert_allclose(
+        np.asarray(allc), np.asarray(dense), atol=5e-4 * scale, rtol=2e-2
+    )
+
+
+def test_all_pose_selected_inverse_chain_only():
+    from graphslam_tpu.solver.marginals import marginal_covariances_all
+
+    data = datasets.manhattan(n_poses=80, loop_prob=0.0, seed=20)
+    graph = from_dataset(data)
+    poses = jnp.asarray(data["gt"])
+    dense = marginal_covariances_dense(poses, graph)
+    allc = marginal_covariances_all(poses, graph)
+    scale = np.abs(np.asarray(dense)).max()
+    np.testing.assert_allclose(
+        np.asarray(allc), np.asarray(dense), atol=5e-4 * scale, rtol=2e-2
+    )

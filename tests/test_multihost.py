@@ -1,0 +1,80 @@
+"""Multi-PROCESS distributed solve: 2 x jax.distributed processes must match
+the single-process result.
+
+This exercises parallel/multihost.py for real — the replacement for the
+reference's rosmaster/roslaunch process layer
+(/root/reference/src/common/launch/fingers-crossed-go-baby-go.launch:3-8).
+Two OS processes with 2 virtual CPU devices each form one 4-device runtime;
+dist_lm_solve's psum separator combines then span a process (DCN-class)
+boundary exactly as they would span hosts on a pod.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dist_lm_matches_single_process(tmp_path):
+    port = _free_port()
+    out_path = str(tmp_path / "poses_mp.npy")
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port), out_path],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            stdout, stderr = p.communicate(timeout=420)
+            outs.append((p.returncode, stdout, stderr))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("jax.distributed 2-process bring-up timed out here")
+    for rc, stdout, stderr in outs:
+        if rc != 0 and "distributed" in stderr.lower():
+            pytest.skip(f"jax.distributed unavailable: {stderr[-400:]}")
+        assert rc == 0, stderr[-2000:]
+    mp_poses = np.load(out_path)
+
+    # single-process reference on a 4-device mesh (same shard count)
+    from graphslam_tpu.config import SolverConfig
+    from graphslam_tpu.factors import from_dataset
+    from graphslam_tpu.io import datasets
+    from graphslam_tpu.parallel import dist_lm_solve, make_mesh, shard_graph
+
+    data = datasets.manhattan(n_poses=200, loop_prob=0.2, seed=7)
+    graph = from_dataset(data)
+    poses0 = jnp.asarray(data["poses"])
+    cfg = SolverConfig(cg_max_iterations=25)
+    mesh = make_mesh(num_devices=4)
+    ref = dist_lm_solve(poses0, shard_graph(graph, mesh), mesh, cfg, iterations=5)
+
+    np.testing.assert_allclose(mp_poses, np.asarray(ref), atol=1e-5)
