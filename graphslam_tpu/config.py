@@ -112,7 +112,7 @@ class FrontendConfig:
     # (scanner.hpp:64-80). The motion model contributes a floor scaled by
     # match_cov_motion_floor.
     use_match_covariance: bool = True
-    match_cov_motion_floor: float = 0.1
+    match_cov_motion_floor: float = 0.01
 
     dtype: str = "float32"
 

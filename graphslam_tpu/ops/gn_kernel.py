@@ -244,12 +244,21 @@ def _hi_lo(x, n_splits: int):
 
 
 def _mxu(a_parts, b, out_dtype, dims):
-    """Sum of dot_generals over the split pieces (b exact in bf16)."""
-    acc = None
-    for p in a_parts:
-        y = jax.lax.dot_general(p, b, dims, preferred_element_type=out_dtype)
-        acc = y if acc is None else acc + y
-    return acc
+    """Sum of dot_generals over the split pieces (b exact in bf16).
+
+    The pieces are stacked along the non-contracted dimension into ONE
+    matmul (M is tiny — 3..16 rows — so n pieces fit the same 128-row MXU
+    pass) and the row groups summed after: one MXU op instead of n.
+    """
+    n = len(a_parts)
+    if n == 1:
+        return jax.lax.dot_general(
+            a_parts[0], b, dims, preferred_element_type=out_dtype
+        )
+    stacked = jnp.concatenate(a_parts, axis=0)
+    y = jax.lax.dot_general(stacked, b, dims, preferred_element_type=out_dtype)
+    R = a_parts[0].shape[0]
+    return sum(y[i * R : (i + 1) * R] for i in range(n))
 
 
 # transposed one-hot layout: ohT is (Npad, 2*tile)
@@ -257,11 +266,20 @@ _GATHER_DIMS = (((1,), (0,)), ((), ()))   # (3, Npad) x (Npad, 2T) -> (3, 2T)
 _SCATTER_DIMS = (((1,), (1,)), ((), ()))  # (R, 2T) x (Npad, 2T) -> (R, Npad)
 
 
+def _residual_rows(xi, xj, z, R):
+    """Whitened between residual rows (no Jacobians — the chi2 pass)."""
+    h = _se2_between(*xi, *xj)
+    d = _se2_between(*z, *h)
+    r = _se2_log(*d)
+    return _m3_vec(R, r)
+
+
 def _gn_kernel(
     nt_ref, poses_ref, cz_ref, cR_ref, pz_ref, pR_ref, eidx_ref, eld_ref,
-    out_ref, Aij_ref, *,
+    out_ref, stats_ref, Aij_ref, *,
     N: int, Npad: int, K: int, n_gn: int, cg_iters: int, n_tiles: int,
     eps: float, huber_delta: float, tile: int, pcr_bf16: bool,
+    lm: bool, lam0: float, lam_factor: float, lam_min: float, lam_max: float,
 ):
     # Live tile count (SMEM scalar): loop-edge slots fill contiguously, so
     # the tile loops run over ceil(live_edges / tile) instead of the
@@ -273,7 +291,51 @@ def _gn_kernel(
     padrow = (lane >= N).astype(dtype)  # identity on padding lanes
     node_col = jax.lax.broadcasted_iota(jnp.int32, (Npad, 1), 0)
 
-    def gn_iter(_, poses):
+    def chi2_of(poses):
+        """Total robustified cost (factors/linearize.py::chi2 semantics:
+        Huber rho on loop edges when enabled, plain squares elsewhere)."""
+        px, py, pth = _split3(poses)
+        xi = (px, py, pth)
+        xj = (_roll(px, -1, 1), _roll(py, -1, 1), _roll(pth, -1, 1))
+        cz = (cz_ref[0:1], cz_ref[1:2], cz_ref[2:3])
+        cR = tuple(cR_ref[a : a + 1] for a in range(9))
+        rw = _residual_rows(xi, xj, cz, cR)
+        e = sum(jnp.sum(x * x) for x in rw)
+
+        pz = (pz_ref[0:1], pz_ref[1:2], pz_ref[2:3])
+        pR = tuple(pR_ref[a : a + 1] for a in range(9))
+        dp = _se2_between(*pz, *xi)
+        rp = _se2_log(*dp)
+        rpw = _m3_vec(pR, rp)
+        e += sum(jnp.sum(x * x) for x in rpw)
+
+        if n_tiles:
+            p_parts = _hi_lo(poses, 3)
+
+            def tile_body(t, acc):
+                sl = pl.ds(t * 2 * tile, 2 * tile)
+                ohT = (node_col == eidx_ref[0:1, sl]).astype(jnp.bfloat16)
+                pg = _mxu(p_parts, ohT, dtype, _GATHER_DIMS)
+                xi_t = tuple(pg[a : a + 1, :tile] for a in range(3))
+                xj_t = tuple(pg[a : a + 1, tile:] for a in range(3))
+                eld = eld_ref[:, pl.ds(t * tile, tile)]
+                z_t = tuple(eld[a : a + 1] for a in range(3))
+                R_t = tuple(eld[3 + a : 4 + a] for a in range(9))
+                rw_t = _residual_rows(xi_t, xj_t, z_t, R_t)
+                et = rw_t[0] ** 2 + rw_t[1] ** 2 + rw_t[2] ** 2
+                if huber_delta > 0.0:
+                    n_ = jnp.sqrt(jnp.maximum(et, 1e-24))
+                    et = jnp.where(
+                        n_ <= huber_delta,
+                        et,
+                        2.0 * huber_delta * n_ - huber_delta**2,
+                    )
+                return acc + jnp.sum(et)
+
+            e = jax.lax.fori_loop(0, nt, tile_body, e)
+        return e
+
+    def solve_dx(poses, lam):
         px, py, pth = _split3(poses)
         xi = (px, py, pth)
         xj = (_roll(px, -1, 1), _roll(py, -1, 1), _roll(pth, -1, 1))
@@ -349,6 +411,10 @@ def _gn_kernel(
             D = tuple(D[e] + Dg[e : e + 1] for e in range(9))
             g = tuple(g[a] + Dg[9 + a : 10 + a] for a in range(3))
 
+        # Marquardt damping: diagonal entries scale by (1 + lam)
+        # (normal_eq.py::_damped_diag with lm_diag_scaling). lam == 0 in GN.
+        D = tuple(D[e] * (1.0 + lam) if e in (0, 4, 8) else D[e] for e in range(9))
+
         # --- plane sets + PCR factorization of the chain preconditioner ----
         Dpl = _rows_to_planes(D)
         Upl = _rows_to_planes(U)
@@ -415,13 +481,55 @@ def _gn_kernel(
             return x, r, p, rz_new
 
         x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x, r, p, rz))
+        return x
 
-        # --- retract: poses <- poses * Exp(dx) ------------------------------
+    def retract(poses, x):
+        px, py, pth = _split3(poses)
         e = _se2_exp(x[0:1], x[1:2], x[2:3])
         nx, ny, nth = _se2_compose(px, py, pth, *e)
         return jnp.concatenate([nx, ny, nth], axis=0)
 
-    out_ref[:] = jax.lax.fori_loop(0, n_gn, gn_iter, poses_ref[:])
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    if not lm:
+        zero = jnp.asarray(0.0, dtype)
+
+        def gn_iter(_, poses):
+            return retract(poses, solve_dx(poses, zero))
+
+        out_ref[:] = jax.lax.fori_loop(0, n_gn, gn_iter, poses_ref[:])
+        stats_ref[:] = jnp.zeros((8, 128), dtype)
+    else:
+        # Full Levenberg-Marquardt: damped solve, candidate chi2,
+        # accept/reject, classic lambda up/down schedule (solver/lm.py's
+        # _lm_loop semantics minus the convergence early-exit — converged
+        # iterations keep polishing at zero risk since worse steps reject).
+        def lm_iter(_, carry):
+            poses, lam, err = carry
+            x = solve_dx(poses, lam)
+            cand = retract(poses, x)
+            new_err = chi2_of(cand)
+            accepted = new_err < err
+            poses = jnp.where(accepted, cand, poses)
+            lam = jnp.where(
+                accepted,
+                jnp.maximum(lam / lam_factor, lam_min),
+                jnp.minimum(lam * lam_factor, lam_max),
+            )
+            err = jnp.where(accepted, new_err, err)
+            return poses, lam, err
+
+        err0 = chi2_of(poses_ref[:])
+        poses, lam, err = jax.lax.fori_loop(
+            0, n_gn, lm_iter,
+            (poses_ref[:], jnp.asarray(lam0, dtype), err0),
+        )
+        out_ref[:] = poses
+        stats_ref[:] = (
+            jnp.where((i0 == 0) & (i1 == 0), err, 0.0)
+            + jnp.where((i0 == 0) & (i1 == 1), lam, 0.0)
+        ).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -465,25 +573,24 @@ def _pack_loop_edges(edges, meas, sqrt_info, mask, c, dtype, tile: int):
 
 @partial(
     jax.jit,
-    static_argnames=("iterations", "cg_iters", "huber_delta", "interpret"),
+    static_argnames=(
+        "iterations", "cg_iters", "huber_delta", "interpret", "lm",
+        "lam0", "lam_factor", "lam_min", "lam_max",
+    ),
 )
-def fused_gn_solve(
+def _fused_solve(
     poses0: jnp.ndarray,
     graph,  # FactorGraph (T == 3)
     iterations: int = 10,
     cg_iters: int = 25,
     huber_delta: float = -1.0,
     interpret: bool | None = None,
-) -> jnp.ndarray:
-    """Run `iterations` full Gauss-Newton iterations in one Pallas kernel.
-
-    Drop-in for solver/lm.py::_gn_loop(mode="pcg_fused") — same math
-    (analytic SE(2) linearization, tridiagonal-PCR-preconditioned CG with a
-    fixed inner iteration count, right retraction), zero per-iteration
-    launches. huber_delta > 0 applies Huber IRLS weights to the loop edges
-    (matching linearize(..., use_huber=True) for graphs whose non-chain
-    edges are all loops). Requires graph.chain_prefix > 0 (SLAM graphs).
-    """
+    lm: bool = False,
+    lam0: float = 1e-5,
+    lam_factor: float = 10.0,
+    lam_min: float = 1e-10,
+    lam_max: float = 1e7,
+):
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     N, T = poses0.shape
@@ -538,20 +645,81 @@ def fused_gn_solve(
         nt = jnp.zeros((1, 1), jnp.int32)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out, stats = pl.pallas_call(
         partial(
             _gn_kernel, N=N, Npad=Npad, K=K, n_gn=iterations,
             cg_iters=cg_iters, n_tiles=n_tiles, eps=3e-4,
             huber_delta=huber_delta, tile=tile, pcr_bf16=pcr_bf16,
+            lm=lm, lam0=lam0, lam_factor=lam_factor, lam_min=lam_min,
+            lam_max=lam_max,
         ),
         in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
         + [vspec] * 7,
-        out_specs=vspec,
-        out_shape=jax.ShapeDtypeStruct((3, Npad), dtype),
+        out_specs=(vspec, vspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, Npad), dtype),
+            jax.ShapeDtypeStruct((8, 128), dtype),
+        ),
         scratch_shapes=[pltpu.VMEM((9, Epad), dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(nt, poses_pl, cz, cR, pz, pR, eidx, eld)
-    return out[:, :N].T
+    return out[:, :N].T, stats
+
+
+def fused_gn_solve(
+    poses0: jnp.ndarray,
+    graph,  # FactorGraph (T == 3)
+    iterations: int = 10,
+    cg_iters: int = 25,
+    huber_delta: float = -1.0,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Run `iterations` full Gauss-Newton iterations in one Pallas kernel.
+
+    Drop-in for solver/lm.py::_gn_loop(mode="pcg_fused") — same math
+    (analytic SE(2) linearization, tridiagonal-PCR-preconditioned CG with a
+    fixed inner iteration count, right retraction), zero per-iteration
+    launches. huber_delta > 0 applies Huber IRLS weights to the loop edges
+    (matching linearize(..., use_huber=True) for graphs whose non-chain
+    edges are all loops). Requires graph.chain_prefix > 0 (SLAM graphs).
+    """
+    out, _ = _fused_solve(
+        poses0, graph, iterations=iterations, cg_iters=cg_iters,
+        huber_delta=huber_delta, interpret=interpret, lm=False,
+    )
+    return out
+
+
+def fused_lm_solve(
+    poses0: jnp.ndarray,
+    graph,  # FactorGraph (T == 3)
+    iterations: int = 30,
+    cg_iters: int = 25,
+    huber_delta: float = -1.0,
+    lam0: float = 1e-5,
+    lam_factor: float = 10.0,
+    lam_min: float = 1e-10,
+    lam_max: float = 1e7,
+    interpret: bool | None = None,
+):
+    """Full Levenberg-Marquardt — damped solve, candidate chi2,
+    accept/reject, lambda schedule — entirely inside ONE Pallas kernel for
+    all `iterations` trust-region steps. The TPU-native form of THE call
+    the reference backend exists to make:
+    gtsam::LevenbergMarquardtOptimizer(graph, initial).optimize()
+    (/root/reference/src/graph/src/graph.cpp:119).
+
+    Returns (poses (N, 3), final_chi2 (), final_lambda ()). Matches
+    solver/lm.py::_lm_loop(mode="pcg_fused") step-for-step except the
+    convergence early-exit (converged iterations keep polishing; worse
+    steps reject, so the result is at least as converged).
+    """
+    out, stats = _fused_solve(
+        poses0, graph, iterations=iterations, cg_iters=cg_iters,
+        huber_delta=huber_delta, interpret=interpret, lm=True,
+        lam0=lam0, lam_factor=lam_factor, lam_min=lam_min, lam_max=lam_max,
+    )
+    return out, stats[0, 0], stats[0, 1]

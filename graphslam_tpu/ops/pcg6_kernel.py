@@ -183,11 +183,16 @@ def _hi_lo(x, n_splits: int):
 
 
 def _mxu(a_parts, b, out_dtype, dims):
-    acc = None
-    for p in a_parts:
-        y = jax.lax.dot_general(p, b, dims, preferred_element_type=out_dtype)
-        acc = y if acc is None else acc + y
-    return acc
+    """One stacked matmul over the hi/lo pieces (see gn_kernel._mxu)."""
+    n = len(a_parts)
+    if n == 1:
+        return jax.lax.dot_general(
+            a_parts[0], b, dims, preferred_element_type=out_dtype
+        )
+    stacked = jnp.concatenate(a_parts, axis=0)
+    y = jax.lax.dot_general(stacked, b, dims, preferred_element_type=out_dtype)
+    R = a_parts[0].shape[0]
+    return sum(y[i * R : (i + 1) * R] for i in range(n))
 
 
 # transposed one-hot layout: ohT is (Npad, 2T)

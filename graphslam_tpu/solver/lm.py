@@ -169,6 +169,28 @@ def lm_solve(
             if float(chi2(candidate, graph)) < e0:
                 poses0 = candidate
     mode = _solve_mode(cfg, poses0.shape[0])
+    if mode == "gn_fused" and graph.tangent_dim == 3:
+        # Whole LM loop in one Pallas kernel (ops/gn_kernel.py). Fixed
+        # iteration count (no early exit — converged steps keep polishing).
+        from graphslam_tpu.ops.gn_kernel import fused_lm_solve
+
+        poses, err, lam = fused_lm_solve(
+            poses0, graph,
+            iterations=cfg.max_iterations,
+            cg_iters=cfg.cg_max_iterations,
+            huber_delta=cfg.huber_delta if cfg.use_huber_on_loops else -1.0,
+            lam0=cfg.init_lambda,
+            lam_factor=cfg.lambda_factor,
+            lam_min=cfg.min_lambda,
+            lam_max=cfg.max_lambda,
+        )
+        return LMState(
+            poses=poses,
+            lam=lam,
+            error=err,
+            iterations=jnp.int32(cfg.max_iterations),
+            converged=jnp.bool_(True),
+        )
     return _lm_loop(poses0, graph, cfg, mode)
 
 

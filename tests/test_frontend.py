@@ -129,3 +129,47 @@ class TestMotionCovariance:
         # Symmetric positive diagonal, zero off-diagonals (the reference left
         # them uninitialized — SURVEY.md §3.6.5).
         assert np.allclose(small, np.diag(np.diag(small)))
+
+
+class TestMatchInformedCovariance:
+    def test_corridor_covariance_is_anisotropic(self):
+        # The match-informed factor covariance (slam/pipeline.py::
+        # _factor_covariance) must inflate the unobservable along-corridor
+        # direction far above the cross-corridor one — the graded
+        # replacement for the reference's binary accept/reject
+        # (scanner.hpp:64-80 modeled only motion magnitude).
+        from graphslam_tpu.slam.pipeline import _factor_covariance
+
+        xs = jnp.linspace(-10.0, 10.0, 180)
+        top = jnp.stack([xs, jnp.full_like(xs, 1.5)], -1)
+        bot = jnp.stack([xs, jnp.full_like(xs, -1.5)], -1)
+        pts = jnp.concatenate([top, bot])
+        mask = jnp.ones(360, bool)
+        res = gicp_match(pts, mask, pts, mask, iterations=8)
+
+        cfg = FrontendConfig()
+        delta = jnp.array([0.3, 0.0, 0.0])
+        cov = _factor_covariance(res, delta, cfg, jnp.bool_(True))
+        # x = along the corridor (unobservable), y = across (well observed)
+        assert float(cov[0, 0]) > 10.0 * float(cov[1, 1]), np.asarray(cov)
+        # fallback path: motion model only
+        cov_fb = _factor_covariance(res, delta, cfg, jnp.bool_(False))
+        mc = motion_covariance(delta, cfg)
+        assert np.allclose(np.asarray(cov_fb), np.asarray(mc))
+
+    def test_good_match_tightens_over_motion_model(self):
+        # A well-constrained room scan: the match information should beat
+        # the coarse motion-scaled model for a large step.
+        from graphslam_tpu.slam.pipeline import _factor_covariance
+
+        pose = jnp.array([-7.0, -5.0, 0.3])
+        pts, mask = scan_at(pose)
+        res = gicp_match(pts, mask, pts, mask, iterations=8)
+        cfg = FrontendConfig()
+        delta = jnp.array([1.0, 0.0, 0.2])
+        cov = _factor_covariance(res, delta, cfg, jnp.bool_(True))
+        mc = motion_covariance(delta, cfg)
+        assert float(jnp.trace(cov)) < float(jnp.trace(mc))
+        # PSD sanity
+        eig = np.linalg.eigvalsh(np.asarray(cov))
+        assert (eig > 0).all()

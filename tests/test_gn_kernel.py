@@ -85,3 +85,25 @@ def test_gn_fused_mode_via_gn_loop():
     out = _gn_loop(poses0, graph, cfg, "gn_fused", 4)
     ref = _gn_loop(poses0, graph, cfg, "pcg_fused", 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_fused_lm_matches_xla_lm():
+    from graphslam_tpu.ops.gn_kernel import fused_lm_solve
+    from graphslam_tpu.solver.lm import _lm_loop
+
+    graph, poses0 = _graph(n_poses=150, seed=8)
+    # disable convergence early-exit so both run exactly `iters` steps
+    cfg = SolverConfig(
+        mode="pcg_fused", cg_max_iterations=25, max_iterations=5,
+        rel_decrease_tol=0.0, abs_decrease_tol=0.0,
+        use_huber_on_loops=True, huber_delta=1.0,
+    )
+    ref = _lm_loop(poses0, graph, cfg, "pcg_fused")
+    out, err, lam = fused_lm_solve(
+        poses0, graph, iterations=5, cg_iters=25, huber_delta=1.0,
+        lam0=cfg.init_lambda, lam_factor=cfg.lambda_factor,
+        lam_min=cfg.min_lambda, lam_max=cfg.max_lambda,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref.poses), atol=3e-3)
+    c_ref = float(ref.error)
+    assert abs(float(err) - c_ref) < 1e-2 * max(c_ref, 1.0), (float(err), c_ref)
