@@ -69,9 +69,9 @@ def _linearized_system(poses, graph, cfg: SolverConfig):
 @partial(jax.jit, static_argnames=("cfg", "mode"))
 def _lm_loop(poses0, graph: FactorGraph, cfg: SolverConfig, mode: str) -> LMState:
     if mode == "gn_fused":
-        # LM's accept/reject needs per-iteration chi2 on the host-of-record
-        # (the while_loop); the fully-fused GN kernel applies to gn_solve
-        # only — LM uses the fused inner solve instead.
+        # The fully-fused LM kernels (gn_kernel/gn6_kernel fused_lm*_solve)
+        # are dispatched by lm_solve; this XLA while_loop variant (with
+        # convergence early-exit) uses the fused inner solve instead.
         mode = "pcg_fused"
     err0 = chi2(
         poses0, graph, huber_delta=cfg.huber_delta, use_huber=cfg.use_huber_on_loops
@@ -146,6 +146,32 @@ def _lm_loop(poses0, graph: FactorGraph, cfg: SolverConfig, mode: str) -> LMStat
     return s
 
 
+@jax.jit
+def auto_init_poses(poses0: jnp.ndarray, graph: FactorGraph) -> jnp.ndarray:
+    """Chordal bootstrap, applied only when needed — fully under jit.
+
+    If the whitened chi2 at `poses0` is catastrophically above the
+    statistical expectation (>100x the active residual dimension — a
+    hopeless basin), run chordal initialization (solver/init.py) and keep
+    whichever start has lower chi2. One `lax.cond`: the linear bootstrap
+    costs nothing when the incoming guess is sane.
+    """
+    from graphslam_tpu.solver.init import chordal_init_se2, chordal_init_se3
+
+    T = graph.tangent_dim
+    m = T * (jnp.sum(graph.edge_mask) + jnp.sum(graph.prior_mask)).astype(
+        poses0.dtype
+    )
+    e0 = chi2(poses0, graph)
+
+    def boot(_):
+        init_fn = chordal_init_se2 if T == 3 else chordal_init_se3
+        cand = init_fn(graph, poses0.shape[0])
+        return jnp.where(chi2(cand, graph) < e0, cand, poses0)
+
+    return jax.lax.cond(e0 > 100.0 * m, boot, lambda _: poses0, None)
+
+
 def lm_solve(
     poses0: jnp.ndarray,
     graph: FactorGraph,
@@ -157,22 +183,19 @@ def lm_solve(
     auto_init: if the initial whitened chi2 is catastrophically above the
     statistical expectation (>100x the residual dimension — a hopeless
     basin), bootstrap with chordal initialization first (solver/init.py).
+    Jit-safe: the decision is a `lax.cond`, no host round-trips.
     """
     if auto_init:
-        m = graph.tangent_dim * (graph.num_edges + 1)
-        e0 = float(chi2(poses0, graph))
-        if e0 > 100.0 * m:
-            from graphslam_tpu.solver.init import chordal_init_se2, chordal_init_se3
-
-            init_fn = chordal_init_se2 if graph.tangent_dim == 3 else chordal_init_se3
-            candidate = init_fn(graph, poses0.shape[0])
-            if float(chi2(candidate, graph)) < e0:
-                poses0 = candidate
+        poses0 = auto_init_poses(poses0, graph)
     mode = _solve_mode(cfg, poses0.shape[0])
-    if mode == "gn_fused" and graph.tangent_dim == 3:
-        # Whole LM loop in one Pallas kernel (ops/gn_kernel.py). Fixed
-        # iteration count (no early exit — converged steps keep polishing).
-        from graphslam_tpu.ops.gn_kernel import fused_lm_solve
+    if mode == "gn_fused":
+        # Whole LM loop in one Pallas kernel (ops/gn_kernel.py for SE(2),
+        # ops/gn6_kernel.py for SE(3)). Fixed iteration count (no early
+        # exit — converged steps keep polishing).
+        if graph.tangent_dim == 3:
+            from graphslam_tpu.ops.gn_kernel import fused_lm_solve
+        else:
+            from graphslam_tpu.ops.gn6_kernel import fused_lm6_solve as fused_lm_solve
 
         poses, err, lam = fused_lm_solve(
             poses0, graph,
@@ -196,12 +219,13 @@ def lm_solve(
 
 @partial(jax.jit, static_argnames=("cfg", "mode", "iterations"))
 def _gn_loop(poses0, graph, cfg: SolverConfig, mode: str, iterations: int):
-    if mode == "gn_fused" and graph.tangent_dim != 3:
-        mode = "pcg_fused"  # SE(3) fuses the inner solve only (pcg6 kernel)
     if mode == "gn_fused":
         # The whole K-iteration GN loop (linearize + assembly + PCR + CG +
         # retract) as ONE Pallas kernel — zero per-iteration launches.
-        from graphslam_tpu.ops.gn_kernel import fused_gn_solve
+        if graph.tangent_dim == 3:
+            from graphslam_tpu.ops.gn_kernel import fused_gn_solve
+        else:
+            from graphslam_tpu.ops.gn6_kernel import fused_gn6_solve as fused_gn_solve
 
         return fused_gn_solve(
             poses0, graph,

@@ -1,11 +1,11 @@
 """Full benchmark matrix (BASELINE.json configs) — writes JSON to stdout.
 
 Configs:
-  1. intel     — GN (fused PCG kernel), ATE + iterations/s
-  2. m3500     — LM + Huber on loops (fused PCG kernel), ATE + iterations/s
+  1. intel     — GN (fused SE(2) GN mega-kernel), ATE + iterations/s
+  2. m3500     — LM + Huber on loops (fused mega-kernel), ATE + iterations/s
   3. frontend  — simulated scans through the online pipeline, frames/s
-  4. city10000 — large 2D graph, PCG, iterations/s
-  5. sphere2500— SE(3), PCG, iterations/s
+  4. city10000 — large 2D graph (fused mega-kernel, whole), iterations/s
+  5. sphere2500/garage — SE(3) (fused SE(3) GN mega-kernel), iterations/s
   6. dist      — factor-sharded solver on all visible devices, scaling check
 
 Run on TPU (default platform) or CPU mesh:
@@ -174,8 +174,15 @@ def main():
     if "sphere2500" not in skip and not args.quick:
         out["sphere2500_se3"] = bench_posegraph(
             "sphere2500", datasets.sphere2500(),
-            SolverConfig(mode="pcg_fused", cg_max_iterations=25,
+            SolverConfig(mode="gn_fused", cg_max_iterations=25,
                          max_iterations=80),
+            iters=20,
+        )
+    if "garage" not in skip and not args.quick:
+        out["garage_se3"] = bench_posegraph(
+            "garage", datasets.garage(),
+            SolverConfig(mode="gn_fused", cg_max_iterations=25,
+                         max_iterations=60),
             iters=20,
         )
     if "frontend" not in skip:

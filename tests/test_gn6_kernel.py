@@ -1,0 +1,75 @@
+"""Fused SE(3) GN/LM mega-kernel (interpret mode) vs the XLA path.
+
+Sizes are tiny: the interpreter executes every unrolled PCR level + CG
+iteration op-by-op on CPU. The Mosaic-compiled path runs on the real chip
+via bench_all config sphere2500 (mode=gn_fused).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from graphslam_tpu.config import SolverConfig
+from graphslam_tpu.factors import from_dataset
+from graphslam_tpu.factors.linearize import chi2
+from graphslam_tpu.io import datasets
+from graphslam_tpu.ops.gn6_kernel import fused_gn6_solve, fused_lm6_solve
+from graphslam_tpu.solver.lm import _gn_loop, _lm_loop
+
+
+def _graph(n_rings=6, poses_per_ring=8, seed=1, chain_only=False):
+    data = datasets.sphere(n_rings=n_rings, poses_per_ring=poses_per_ring, seed=seed)
+    graph = from_dataset(data)
+    if chain_only:
+        keep = jnp.arange(graph.num_edges) < graph.chain_prefix
+        graph = graph.replace(edge_mask=graph.edge_mask & keep)
+    return graph, jnp.asarray(data["poses"])
+
+
+def test_fused_gn6_matches_xla_gn_trajectory():
+    graph, poses0 = _graph()
+    cfg = SolverConfig(mode="pcg", cg_max_iterations=20)
+    ref = _gn_loop(poses0, graph, cfg, "pcg_fused", 3)
+    out = fused_gn6_solve(poses0, graph, iterations=3, cg_iters=20)
+    assert np.isfinite(np.asarray(out)).all()
+    c_ref = float(chi2(ref, graph))
+    c_out = float(chi2(out, graph))
+    assert abs(c_ref - c_out) < 1e-2 * max(c_ref, 1.0), (c_ref, c_out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def test_fused_gn6_chain_only():
+    graph, poses0 = _graph(n_rings=5, chain_only=True)
+    cfg = SolverConfig(mode="pcg", cg_max_iterations=15)
+    ref = _gn_loop(poses0, graph, cfg, "pcg_fused", 2)
+    out = fused_gn6_solve(poses0, graph, iterations=2, cg_iters=15)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def test_fused_gn6_masked_edges():
+    graph, poses0 = _graph(seed=3)
+    E = graph.num_edges
+    c = graph.chain_prefix
+    mask = graph.edge_mask.at[E - 1].set(False).at[c - 2].set(False)
+    gm = graph.replace(edge_mask=mask)
+    cfg = SolverConfig(mode="pcg", cg_max_iterations=15)
+    ref = _gn_loop(poses0, gm, cfg, "pcg_fused", 2)
+    out = fused_gn6_solve(poses0, gm, iterations=2, cg_iters=15)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def test_fused_lm6_matches_xla_lm():
+    graph, poses0 = _graph(seed=5)
+    cfg = SolverConfig(
+        mode="pcg_fused", cg_max_iterations=15, max_iterations=3,
+        rel_decrease_tol=0.0, abs_decrease_tol=0.0,
+        use_huber_on_loops=True, huber_delta=1.0,
+    )
+    ref = _lm_loop(poses0, graph, cfg, "pcg_fused")
+    out, err, lam = fused_lm6_solve(
+        poses0, graph, iterations=3, cg_iters=15, huber_delta=1.0,
+        lam0=cfg.init_lambda, lam_factor=cfg.lambda_factor,
+        lam_min=cfg.min_lambda, lam_max=cfg.max_lambda,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref.poses), atol=8e-3)
+    c_ref = float(ref.error)
+    assert abs(float(err) - c_ref) < 1e-2 * max(c_ref, 1.0), (float(err), c_ref)
