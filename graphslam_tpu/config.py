@@ -57,6 +57,16 @@ class SolverConfig:
     huber_delta: float = 1.0
     use_huber_on_loops: bool = False
 
+    # Truncated PCR in the fused (gn_fused) kernels: eliminate chain
+    # couplings only up to distance 2^pcr_levels instead of the full
+    # ceil(log2 N) levels. The chain preconditioner becomes inexact (CG
+    # absorbs the difference); factorization cost drops linearly in levels.
+    # Measured on loop-dense graphs (RESULTS.md): identical convergence at
+    # 4 levels with ~11% (m3500) higher throughput — long-range chain
+    # elimination buys nothing when loops dominate the spectrum. None =
+    # exact (matches the XLA "tridiag" preconditioner trajectory).
+    pcr_levels: int | None = None
+
     dtype: str = "float32"
 
 

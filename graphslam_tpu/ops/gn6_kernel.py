@@ -792,7 +792,7 @@ def _pack_loop_edges6(edges, meas, sqrt_info, mask, c, dtype, tile: int):
     jax.jit,
     static_argnames=(
         "iterations", "cg_iters", "huber_delta", "interpret", "lm",
-        "lam0", "lam_factor", "lam_min", "lam_max",
+        "lam0", "lam_factor", "lam_min", "lam_max", "pcr_levels",
     ),
 )
 def _fused_solve6(
@@ -807,6 +807,7 @@ def _fused_solve6(
     lam_factor: float = 10.0,
     lam_min: float = 1e-10,
     lam_max: float = 1e7,
+    pcr_levels: int | None = None,
 ):
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -816,6 +817,10 @@ def _fused_solve6(
     dtype = poses0.dtype
     Npad = -(-N // 128) * 128
     K = max(1, math.ceil(math.log2(max(N, 2))))
+    if pcr_levels is not None:
+        # Truncated PCR (see gn_kernel.py): inexact chain preconditioner,
+        # linearly cheaper factorization; CG absorbs the difference.
+        K = min(K, max(1, pcr_levels))
     c = min(graph.chain_prefix, N - 1)
     tile = _EDGE_TILE
 
@@ -889,6 +894,7 @@ def fused_gn6_solve(
     cg_iters: int = 25,
     huber_delta: float = -1.0,
     interpret: bool | None = None,
+    pcr_levels: int | None = None,
 ) -> jnp.ndarray:
     """Run `iterations` full SE(3) Gauss-Newton iterations in one Pallas
     kernel. Drop-in for solver/lm.py::_gn_loop(mode="pcg_fused") at T=6 —
@@ -899,6 +905,7 @@ def fused_gn6_solve(
     out, _ = _fused_solve6(
         poses0, graph, iterations=iterations, cg_iters=cg_iters,
         huber_delta=huber_delta, interpret=interpret, lm=False,
+        pcr_levels=pcr_levels,
     )
     return out
 
@@ -914,6 +921,7 @@ def fused_lm6_solve(
     lam_min: float = 1e-10,
     lam_max: float = 1e7,
     interpret: bool | None = None,
+    pcr_levels: int | None = None,
 ):
     """Full SE(3) Levenberg-Marquardt — damped solve, candidate chi2,
     accept/reject, lambda schedule — entirely inside ONE Pallas kernel.
@@ -924,5 +932,6 @@ def fused_lm6_solve(
         poses0, graph, iterations=iterations, cg_iters=cg_iters,
         huber_delta=huber_delta, interpret=interpret, lm=True,
         lam0=lam0, lam_factor=lam_factor, lam_min=lam_min, lam_max=lam_max,
+        pcr_levels=pcr_levels,
     )
     return out, stats[0, 0], stats[0, 1]

@@ -575,7 +575,7 @@ def _pack_loop_edges(edges, meas, sqrt_info, mask, c, dtype, tile: int):
     jax.jit,
     static_argnames=(
         "iterations", "cg_iters", "huber_delta", "interpret", "lm",
-        "lam0", "lam_factor", "lam_min", "lam_max",
+        "lam0", "lam_factor", "lam_min", "lam_max", "pcr_levels",
     ),
 )
 def _fused_solve(
@@ -590,6 +590,7 @@ def _fused_solve(
     lam_factor: float = 10.0,
     lam_min: float = 1e-10,
     lam_max: float = 1e7,
+    pcr_levels: int | None = None,
 ):
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -599,6 +600,11 @@ def _fused_solve(
     dtype = poses0.dtype
     Npad = -(-N // 128) * 128
     K = max(1, math.ceil(math.log2(max(N, 2))))
+    if pcr_levels is not None:
+        # Truncated PCR: eliminate couplings only up to distance 2^levels.
+        # The preconditioner becomes inexact (CG corrects); the per-solve
+        # factorization cost drops linearly in levels.
+        K = min(K, max(1, pcr_levels))
     c = min(graph.chain_prefix, N - 1)
     # Edge tiles stay 128 wide: Mosaic requires lane-axis dynamic-slice
     # offsets to be 128-multiples. Large graphs (city10000) fit via the
@@ -676,6 +682,7 @@ def fused_gn_solve(
     cg_iters: int = 25,
     huber_delta: float = -1.0,
     interpret: bool | None = None,
+    pcr_levels: int | None = None,
 ) -> jnp.ndarray:
     """Run `iterations` full Gauss-Newton iterations in one Pallas kernel.
 
@@ -689,6 +696,7 @@ def fused_gn_solve(
     out, _ = _fused_solve(
         poses0, graph, iterations=iterations, cg_iters=cg_iters,
         huber_delta=huber_delta, interpret=interpret, lm=False,
+        pcr_levels=pcr_levels,
     )
     return out
 
@@ -704,6 +712,7 @@ def fused_lm_solve(
     lam_min: float = 1e-10,
     lam_max: float = 1e7,
     interpret: bool | None = None,
+    pcr_levels: int | None = None,
 ):
     """Full Levenberg-Marquardt — damped solve, candidate chi2,
     accept/reject, lambda schedule — entirely inside ONE Pallas kernel for
@@ -721,5 +730,6 @@ def fused_lm_solve(
         poses0, graph, iterations=iterations, cg_iters=cg_iters,
         huber_delta=huber_delta, interpret=interpret, lm=True,
         lam0=lam0, lam_factor=lam_factor, lam_min=lam_min, lam_max=lam_max,
+        pcr_levels=pcr_levels,
     )
     return out, stats[0, 0], stats[0, 1]

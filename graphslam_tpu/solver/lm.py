@@ -206,6 +206,7 @@ def lm_solve(
             lam_factor=cfg.lambda_factor,
             lam_min=cfg.min_lambda,
             lam_max=cfg.max_lambda,
+            pcr_levels=cfg.pcr_levels,
         )
         return LMState(
             poses=poses,
@@ -231,6 +232,7 @@ def _gn_loop(poses0, graph, cfg: SolverConfig, mode: str, iterations: int):
             poses0, graph,
             iterations=iterations,
             cg_iters=cfg.cg_max_iterations,
+            pcr_levels=cfg.pcr_levels,
         )
 
     def body(poses, _):

@@ -160,8 +160,11 @@ def main():
     if "m3500" not in skip:
         out["m3500_lm_huber"] = bench_posegraph(
             "m3500", datasets.m3500(),
+            # pcr_levels=4: validated equal-quality on Manhattan graphs
+            # (RESULTS.md truncated-PCR sweep).
             SolverConfig(mode="gn_fused", cg_max_iterations=25,
-                         use_huber_on_loops=True, max_iterations=80),
+                         use_huber_on_loops=True, max_iterations=80,
+                         pcr_levels=4),
             iters=50,
         )
     if "city10000" not in skip and not args.quick:

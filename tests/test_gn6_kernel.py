@@ -57,6 +57,19 @@ def test_fused_gn6_masked_edges():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
 
 
+def test_lm_solve_dispatches_gn_fused_se3():
+    # solver-level dispatch: mode="gn_fused" on a T=6 graph must route to
+    # the fused SE(3) LM kernel and return a sane LMState.
+    from graphslam_tpu.solver.lm import lm_solve
+
+    graph, poses0 = _graph(n_rings=4, poses_per_ring=6, seed=9)
+    cfg = SolverConfig(mode="gn_fused", cg_max_iterations=10, max_iterations=2)
+    out = lm_solve(poses0, graph, cfg)
+    assert out.poses.shape == poses0.shape
+    assert np.isfinite(np.asarray(out.poses)).all()
+    assert float(out.error) <= float(chi2(poses0, graph)) + 1e-6
+
+
 def test_fused_lm6_matches_xla_lm():
     graph, poses0 = _graph(seed=5)
     cfg = SolverConfig(
