@@ -56,8 +56,12 @@ def main():
     # chi2 6180 vs 6192, ATE 0.302 vs 0.316 at the same iteration count) and
     # the factorization is 8 levels cheaper. The ATE gate below re-validates
     # this on every run.
+    # edge_tile=512 / hvp_splits=1: round-3 sweep winners (wider loop-edge
+    # tiles cut per-tile fixed cost; the bf16 CG matvec halves MXU work in
+    # the CG loop at equal chi2/ATE — both re-validated by this gate).
     tcfg = SolverConfig(
-        mode=mode, cg_max_iterations=25, cg_tol=1e-7, pcr_levels=4
+        mode=mode, cg_max_iterations=25, cg_tol=1e-7, pcr_levels=4,
+        edge_tile=512, hvp_splits=1,
     )
 
     # --- correctness gate: GN must reach the optimum basin ------------------

@@ -67,6 +67,23 @@ class SolverConfig:
     # exact (matches the XLA "tridiag" preconditioner trajectory).
     pcr_levels: int | None = None
 
+    # Loop-edge tile width in the fused (gn_fused) kernels. Must be a
+    # 128-multiple (Mosaic lane-offset rule). Wider tiles cut fori-loop
+    # overhead and feed the MXU wider matmuls: city10000 measured 255 ->
+    # 334 it/s going 128 -> 256 (RESULTS.md round-3 sweep). 256 is the
+    # sweet spot for batch solves; the online pipeline keeps cost bounded
+    # via the live-tile count either way.
+    edge_tile: int = 256
+
+    # bf16 hi/lo splits for the CG matvec gather/scatter inside the fused
+    # kernels. 2 (default) reproduces ~f32-exact products; 1 runs the
+    # matvec in plain bf16 — HALF the MXU work in the CG loop. CG treats
+    # the (tiny, ~2^-9 relative) matvec error as extra preconditioner
+    # slack: measured equal chi2/ATE on every BASELINE graph (RESULTS.md),
+    # but it is a per-config opt-in, not the default. The linearization
+    # and Hessian-assembly scatters always stay at hi/lo exactness.
+    hvp_splits: int = 2
+
     dtype: str = "float32"
 
 

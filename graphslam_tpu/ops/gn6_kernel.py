@@ -24,7 +24,9 @@ Data layout: everything is component rows — a pose field is a (12, Npad)
 array (rows 0-8 the row-major rotation, 9-11 the translation) with poses on
 lanes; a 6x6 block field is a 2x2 grid of 3x3 "rowmats" (each a 9-tuple of
 (1, W) rows). Chain edges (k, k+1) linearize with NO gathers (x_j is a lane
-roll); loop edges gather/scatter via transposed one-hot MXU matmuls with
+roll); loop edges gather/scatter via the two-level one-hot factorization
+(gn_kernel.py::_tile_qr/_gather2/_scatter2 — K=128 MXU matmul over r =
+idx % 128 on the tall reshape, exact VPU select over q = idx // 128) with
 hi/lo bf16 splits exactly as in gn_kernel.py. The chain preconditioner and
 CG reuse ops/pcg6_kernel.py's 6x6 grid-of-planes algebra verbatim.
 
@@ -49,16 +51,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from graphslam_tpu.ops.gn_kernel import (
-    _GATHER_DIMS,
-    _SCATTER_DIMS,
+    _gather2,
     _hi_lo,
+    _scatter2,
+    _tile_qr,
     _m3_T,
     _m3_mul,
     _m3_neg,
     _m3_scale,
     _m3_Tvec,
     _m3_vec,
-    _mxu,
     _rows_to_planes,
 )
 from graphslam_tpu.ops.pcg6_kernel import (
@@ -470,14 +472,14 @@ def _gn6_kernel(
     nt_ref, poses_ref, cz_ref, cW_ref, pz_ref, pW_ref, eidx_ref, eld_ref,
     out_ref, stats_ref, Aij_ref, *,
     N: int, Npad: int, K: int, n_gn: int, cg_iters: int, n_tiles: int,
-    eps: float, huber_delta: float, tile: int,
+    eps: float, huber_delta: float, tile: int, hvp_splits: int,
     lm: bool, lam0: float, lam_factor: float, lam_min: float, lam_max: float,
 ):
     nt = jnp.minimum(nt_ref[0, 0], n_tiles)
     dtype = poses_ref.dtype
+    Q = Npad // 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, Npad), 1)
     padrow = (lane >= N).astype(dtype)
-    node_col = jax.lax.broadcasted_iota(jnp.int32, (Npad, 1), 0)
 
     def chain_parts(poses):
         rows = tuple(poses[a : a + 1] for a in range(12))
@@ -494,15 +496,15 @@ def _gn6_kernel(
 
     def tile_edge_parts(poses_parts, t):
         """Gather endpoint poses + unpack tile measurement/info rows."""
-        sl = pl.ds(t * 2 * tile, 2 * tile)
-        ohT = (node_col == eidx_ref[0:1, sl]).astype(jnp.bfloat16)
-        pg = _mxu(poses_parts, ohT, dtype, _GATHER_DIMS)  # (12, 2T)
+        idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
+        ohr, qsel = _tile_qr(idx, Q, dtype)
+        pg = _gather2(poses_parts, ohr, qsel, 12, Q, dtype)  # (12, 2T)
         xi_t = _pose_of(tuple(pg[a : a + 1, :tile] for a in range(12)))
         xj_t = _pose_of(tuple(pg[a : a + 1, tile:] for a in range(12)))
         sle = pl.ds(t * tile, tile)
         z_t = _pose_of(tuple(eld_ref[a : a + 1, sle] for a in range(12)))
         W_t = _rows_g6_off(eld_ref, sle)
-        return ohT, xi_t, xj_t, z_t, W_t
+        return (ohr, qsel), xi_t, xj_t, z_t, W_t
 
     def chi2_of(poses):
         xi, xj, z, W = chain_parts(poses)
@@ -515,10 +517,10 @@ def _gn6_kernel(
         e += sum(jnp.sum(x * x) for x in rp)
 
         if n_tiles:
-            p_parts = _hi_lo(poses, 3)
+            p_parts = _hi_lo(poses.reshape(12 * Q, 128), 3)
 
             def tile_body(t, acc):
-                ohT, xi_t, xj_t, z_t, W_t = tile_edge_parts(p_parts, t)
+                _, xi_t, xj_t, z_t, W_t = tile_edge_parts(p_parts, t)
                 rw_t = _residual6(xi_t, xj_t, z_t, W_t)
                 et = sum(x * x for x in rw_t)
                 if huber_delta > 0.0:
@@ -566,11 +568,11 @@ def _gn6_kernel(
 
         # loop edges
         if n_tiles:
-            p_parts = _hi_lo(poses, 3)
+            p_parts = _hi_lo(poses.reshape(12 * Q, 128), 3)
 
             def tile_body(t, carry):
-                Dg = carry  # (48, Npad): rows 0-35 D entries (row-major 6x6), 36-41 g
-                ohT, xi_t, xj_t, z_t, W_t = tile_edge_parts(p_parts, t)
+                Dg = carry  # tall (42*Q, 128): rows 0-35 D entries, 36-41 g
+                oh, xi_t, xj_t, z_t, W_t = tile_edge_parts(p_parts, t)
                 rw_t, Jiw_t, Jjw_t = _linearize6(xi_t, xj_t, z_t, W_t, huber_delta)
                 Aii_t, Aij_t, Ajj_t, gi_t, gj_t = _g6_outer(Jiw_t, Jjw_t, rw_t)
                 # stash Aij rows for the CG matvec (36 rows per tile)
@@ -581,15 +583,13 @@ def _gn6_kernel(
                 Ajj36 = _g6_rows36(Ajj_t)
                 C = jnp.concatenate(
                     [jnp.concatenate([Aii36[e], Ajj36[e]], axis=1) for e in range(36)]
-                    + [jnp.concatenate([gi_t[a], gj_t[a]], axis=1) for a in range(6)]
-                    + [jnp.zeros((6, 2 * tile), dtype)],
+                    + [jnp.concatenate([gi_t[a], gj_t[a]], axis=1) for a in range(6)],
                     axis=0,
                 )
-                C_parts = _hi_lo(C, 2)
-                return Dg + _mxu(C_parts, ohT, dtype, _SCATTER_DIMS)
+                return Dg + _scatter2(C, *oh, dtype)
 
-            Dg0 = jnp.zeros((48, Npad), dtype)
-            Dg = jax.lax.fori_loop(0, nt, tile_body, Dg0)
+            Dg0 = jnp.zeros((42 * Q, 128), dtype)
+            Dg = jax.lax.fori_loop(0, nt, tile_body, Dg0).reshape(42, Npad)
             D = _g6_add_grid(D, _rows_g6(Dg))
             g = tuple(g[a] + Dg[36 + a : 37 + a] for a in range(6))
 
@@ -616,12 +616,12 @@ def _gn6_kernel(
             out += _g_bmv(Upl, _roll(v, -1, 1))
             out += _g_bmv(Lpl, _roll(v, 1, 1))
             if n_tiles:
-                v_parts = _hi_lo(v, 2)
+                v_parts = _hi_lo(v.reshape(6 * Q, 128), hvp_splits)
 
                 def tile_body(t, acc):
-                    sl = pl.ds(t * 2 * tile, 2 * tile)
-                    ohT = (node_col == eidx_ref[0:1, sl]).astype(jnp.bfloat16)
-                    vg = _mxu(v_parts, ohT, dtype, _GATHER_DIMS)  # (6, 2T)
+                    idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
+                    ohr, qsel = _tile_qr(idx, Q, dtype)
+                    vg = _gather2(v_parts, ohr, qsel, 6, Q, dtype)  # (6, 2T)
                     vi = tuple(vg[a : a + 1, :tile] for a in range(6))
                     vj = tuple(vg[a : a + 1, tile:] for a in range(6))
                     sle = pl.ds(t * tile, tile)
@@ -638,10 +638,14 @@ def _gn6_kernel(
                         [jnp.concatenate([yi[a], yj[a]], axis=1) for a in range(6)],
                         axis=0,
                     )
-                    y_parts = _hi_lo(ys, 2)
-                    return acc + _mxu(y_parts, ohT, dtype, _SCATTER_DIMS)
+                    return acc + _scatter2(
+                        ys, ohr, qsel, dtype, n_splits=hvp_splits
+                    )
 
-                out = jax.lax.fori_loop(0, nt, tile_body, out)
+                acc0 = jnp.zeros((6 * Q, 128), dtype)
+                out = out + jax.lax.fori_loop(
+                    0, nt, tile_body, acc0
+                ).reshape(6, Npad)
             return out
 
         tiny = jnp.asarray(1e-30, dtype)
@@ -793,6 +797,7 @@ def _pack_loop_edges6(edges, meas, sqrt_info, mask, c, dtype, tile: int):
     static_argnames=(
         "iterations", "cg_iters", "huber_delta", "interpret", "lm",
         "lam0", "lam_factor", "lam_min", "lam_max", "pcr_levels",
+        "edge_tile", "hvp_splits",
     ),
 )
 def _fused_solve6(
@@ -808,6 +813,8 @@ def _fused_solve6(
     lam_min: float = 1e-10,
     lam_max: float = 1e7,
     pcr_levels: int | None = None,
+    edge_tile: int = _EDGE_TILE,
+    hvp_splits: int = 2,
 ):
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -822,7 +829,7 @@ def _fused_solve6(
         # linearly cheaper factorization; CG absorbs the difference.
         K = min(K, max(1, pcr_levels))
     c = min(graph.chain_prefix, N - 1)
-    tile = _EDGE_TILE
+    tile = edge_tile
 
     poses_pl = _identity_rows12(Npad, dtype).at[:, :N].set(poses0.T)
 
@@ -867,7 +874,7 @@ def _fused_solve6(
         partial(
             _gn6_kernel, N=N, Npad=Npad, K=K, n_gn=iterations,
             cg_iters=cg_iters, n_tiles=n_tiles, eps=3e-4,
-            huber_delta=huber_delta, tile=tile,
+            huber_delta=huber_delta, tile=tile, hvp_splits=hvp_splits,
             lm=lm, lam0=lam0, lam_factor=lam_factor, lam_min=lam_min,
             lam_max=lam_max,
         ),
@@ -895,6 +902,8 @@ def fused_gn6_solve(
     huber_delta: float = -1.0,
     interpret: bool | None = None,
     pcr_levels: int | None = None,
+    edge_tile: int = _EDGE_TILE,
+    hvp_splits: int = 2,
 ) -> jnp.ndarray:
     """Run `iterations` full SE(3) Gauss-Newton iterations in one Pallas
     kernel. Drop-in for solver/lm.py::_gn_loop(mode="pcg_fused") at T=6 —
@@ -905,7 +914,7 @@ def fused_gn6_solve(
     out, _ = _fused_solve6(
         poses0, graph, iterations=iterations, cg_iters=cg_iters,
         huber_delta=huber_delta, interpret=interpret, lm=False,
-        pcr_levels=pcr_levels,
+        pcr_levels=pcr_levels, edge_tile=edge_tile, hvp_splits=hvp_splits,
     )
     return out
 
@@ -922,6 +931,8 @@ def fused_lm6_solve(
     lam_max: float = 1e7,
     interpret: bool | None = None,
     pcr_levels: int | None = None,
+    edge_tile: int = _EDGE_TILE,
+    hvp_splits: int = 2,
 ):
     """Full SE(3) Levenberg-Marquardt — damped solve, candidate chi2,
     accept/reject, lambda schedule — entirely inside ONE Pallas kernel.
@@ -932,6 +943,6 @@ def fused_lm6_solve(
         poses0, graph, iterations=iterations, cg_iters=cg_iters,
         huber_delta=huber_delta, interpret=interpret, lm=True,
         lam0=lam0, lam_factor=lam_factor, lam_min=lam_min, lam_max=lam_max,
-        pcr_levels=pcr_levels,
+        pcr_levels=pcr_levels, edge_tile=edge_tile, hvp_splits=hvp_splits,
     )
     return out, stats[0, 0], stats[0, 1]

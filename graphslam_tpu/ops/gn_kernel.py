@@ -20,9 +20,14 @@ launch-latency-bound XLA op soup. This module fuses the whole outer loop:
 Data layout: everything is component-rows — a pose field is a (3, Npad)
 array with poses on lanes, a 3x3 block field is 9 such rows (row-major).
 Chain edges (k, k+1) linearize with NO gathers at all: x_j is one lane roll
-of the pose planes. Loop edges gather/scatter through on-the-fly one-hot
-matmuls on the MXU with hi/lo bf16 splits (3-way for pose gathers — exact to
-~f32; 2-way for Hessian/gradient scatters, see CLAUDE.md on MXU precision).
+of the pose planes. Loop edges gather/scatter through TWO-LEVEL one-hot
+matmuls (factor node index n = q*128 + r: a K=128 MXU matmul over r on the
+"tall" (A*Q, 128) reshape at full M utilization, then an exact VPU select
+over q — see the comment above _tile_qr) with hi/lo bf16 splits (3-way for
+pose gathers — exact to ~f32; 2-way for Hessian/gradient scatters, see
+CLAUDE.md on MXU precision). This replaced flat (Npad, 2T) one-hots in
+round 3: at city10000 scale those contracted K=10240 with M=3..16 of 128
+MXU rows and dominated the whole GN iteration (68.7 -> 176+ it/s).
 
 This replaces gtsam::LevenbergMarquardtOptimizer's inner loop
 (/root/reference/src/graph/src/graph.cpp:119, SURVEY.md §3.3) — the one
@@ -266,6 +271,59 @@ _GATHER_DIMS = (((1,), (0,)), ((), ()))   # (3, Npad) x (Npad, 2T) -> (3, 2T)
 _SCATTER_DIMS = (((1,), (1,)), ((), ()))  # (R, 2T) x (Npad, 2T) -> (R, Npad)
 
 
+# ---------------------------------------------------------------------------
+# Two-level one-hot gather/scatter.
+#
+# A flat one-hot gather of E tile columns from (A, Npad) costs an MXU pass
+# with contraction K = Npad and M = A (3..16 of 128 rows — ~5% utilization)
+# plus an (Npad, 2T) VPU compare to build the one-hot; at city10000 scale
+# (Npad = 10240) the tile sweeps dominated the whole GN iteration. Factoring
+# the node index as n = q*128 + r turns this into
+#   (1) an MXU matmul over r with K = 128 on the "tall" layout
+#       (A*Q, 128) = (A, Npad).reshape — full M utilization, and
+#   (2) an exact VPU select over q (multiply by a {0,1} mask and sum Q rows
+#       of which exactly one is nonzero per column).
+# Cost drops from O(A_slots * Npad) to O(A * Q * 128) per tile with BETTER
+# numerics (step 2 is exact in f32). Scatter is the transpose of the same
+# factorization; accumulators live in the tall layout across the tile loop
+# and reshape back to (R, Npad) once per sweep.
+# ---------------------------------------------------------------------------
+
+_R_GATHER_DIMS = (((1,), (0,)), ((), ()))  # (AQ, 128) x (128, 2T) -> (AQ, 2T)
+
+
+def _tile_qr(idx, Q: int, dtype):
+    """One-hot pieces for a tile's node indices idx (1, 2T) int32: ohr
+    (128, 2T) bf16 one-hot of idx % 128, qsel (Q, 2T) one-hot of idx // 128."""
+    W = idx.shape[1]
+    sub_r = jax.lax.broadcasted_iota(jnp.int32, (128, W), 0)
+    sub_q = jax.lax.broadcasted_iota(jnp.int32, (Q, W), 0)
+    ohr = (sub_r == (idx & 127)).astype(jnp.bfloat16)
+    qsel = (sub_q == jax.lax.shift_right_logical(idx, 7)).astype(dtype)
+    return ohr, qsel
+
+
+def _gather2(p_tall_parts, ohr, qsel, A: int, Q: int, dtype):
+    """Gather an A-row field at the tile's nodes -> (A, 2T). p_tall_parts are
+    hi/lo bf16 pieces of field.reshape(A*Q, 128)."""
+    G = _mxu(p_tall_parts, ohr, dtype, _R_GATHER_DIMS)  # (A*Q, 2T)
+    return jnp.concatenate(
+        [
+            jnp.sum(G[a * Q : (a + 1) * Q] * qsel, axis=0, keepdims=True)
+            for a in range(A)
+        ],
+        axis=0,
+    )
+
+
+def _scatter2(C, ohr, qsel, dtype, n_splits: int = 2):
+    """Tall-layout scatter contribution of per-edge rows C (R, 2T): returns
+    (R*Q, 128) to accumulate; acc.reshape(R, Npad) recovers the wide form."""
+    R = C.shape[0]
+    S1 = jnp.concatenate([C[c : c + 1] * qsel for c in range(R)], axis=0)
+    return _mxu(_hi_lo(S1, n_splits), ohr, dtype, _SCATTER_DIMS)
+
+
 def _residual_rows(xi, xj, z, R):
     """Whitened between residual rows (no Jacobians — the chi2 pass)."""
     h = _se2_between(*xi, *xj)
@@ -279,6 +337,7 @@ def _gn_kernel(
     out_ref, stats_ref, Aij_ref, *,
     N: int, Npad: int, K: int, n_gn: int, cg_iters: int, n_tiles: int,
     eps: float, huber_delta: float, tile: int, pcr_bf16: bool,
+    hvp_splits: int,
     lm: bool, lam0: float, lam_factor: float, lam_min: float, lam_max: float,
 ):
     # Live tile count (SMEM scalar): loop-edge slots fill contiguously, so
@@ -287,9 +346,9 @@ def _gn_kernel(
     # (slam/pipeline.py buckets the poses; this bounds the edges).
     nt = jnp.minimum(nt_ref[0, 0], n_tiles)
     dtype = poses_ref.dtype
+    Q = Npad // 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, Npad), 1)
     padrow = (lane >= N).astype(dtype)  # identity on padding lanes
-    node_col = jax.lax.broadcasted_iota(jnp.int32, (Npad, 1), 0)
 
     def chi2_of(poses):
         """Total robustified cost (factors/linearize.py::chi2 semantics:
@@ -310,12 +369,12 @@ def _gn_kernel(
         e += sum(jnp.sum(x * x) for x in rpw)
 
         if n_tiles:
-            p_parts = _hi_lo(poses, 3)
+            p_parts = _hi_lo(poses.reshape(3 * Q, 128), 3)
 
             def tile_body(t, acc):
-                sl = pl.ds(t * 2 * tile, 2 * tile)
-                ohT = (node_col == eidx_ref[0:1, sl]).astype(jnp.bfloat16)
-                pg = _mxu(p_parts, ohT, dtype, _GATHER_DIMS)
+                idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
+                ohr, qsel = _tile_qr(idx, Q, dtype)
+                pg = _gather2(p_parts, ohr, qsel, 3, Q, dtype)
                 xi_t = tuple(pg[a : a + 1, :tile] for a in range(3))
                 xj_t = tuple(pg[a : a + 1, tile:] for a in range(3))
                 eld = eld_ref[:, pl.ds(t * tile, tile)]
@@ -370,17 +429,15 @@ def _gn_kernel(
         # keep padding lanes nonsingular
         D = tuple(D[e] + (padrow if e in (0, 4, 8) else 0.0) for e in range(9))
 
-        # --- loop edges: tile loop with one-hot MXU gather/scatter ---------
+        # --- loop edges: tile loop, two-level one-hot gather/scatter -------
         if n_tiles:
-            p_parts = _hi_lo(poses, 3)  # 3-way: pose gather exact to ~f32
+            p_parts = _hi_lo(poses.reshape(3 * Q, 128), 3)  # ~f32-exact
 
             def tile_body(t, carry):
-                Dg = carry  # (16, Npad): rows 0-8 D entries, 9-11 g
-                sl = pl.ds(t * 2 * tile, 2 * tile)
-                # (Npad, 2T) one-hot via broadcast compare with the index
-                # row; columns = [i-half | j-half] per tile.
-                ohT = (node_col == eidx_ref[0:1, sl]).astype(jnp.bfloat16)
-                pg = _mxu(p_parts, ohT, dtype, _GATHER_DIMS)  # (3, 2T)
+                Dg = carry  # tall (12*Q, 128): rows 0-8 D entries, 9-11 g
+                idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
+                ohr, qsel = _tile_qr(idx, Q, dtype)
+                pg = _gather2(p_parts, ohr, qsel, 3, Q, dtype)  # (3, 2T)
                 xi_t = tuple(pg[a : a + 1, :tile] for a in range(3))
                 xj_t = tuple(pg[a : a + 1, tile:] for a in range(3))
                 eld = eld_ref[:, pl.ds(t * tile, tile)]
@@ -395,19 +452,17 @@ def _gn_kernel(
                 # stash Aij for the CG matvec (9 rows per tile)
                 for a in range(9):
                     Aij_ref[a : a + 1, pl.ds(t * tile, tile)] = Aij_t[a]
-                # contributions C (16, 2T): i-half columns carry (Aii, gi),
-                # j-half (Ajj, gj); one scatter matmul accumulates both.
+                # contributions C (12, 2T): i-half columns carry (Aii, gi),
+                # j-half (Ajj, gj); one scatter accumulates both.
                 C = jnp.concatenate(
                     [jnp.concatenate([Aii_t[e], Ajj_t[e]], axis=1) for e in range(9)]
-                    + [jnp.concatenate([gi_t[a], gj_t[a]], axis=1) for a in range(3)]
-                    + [jnp.zeros((4, 2 * tile), dtype)],
+                    + [jnp.concatenate([gi_t[a], gj_t[a]], axis=1) for a in range(3)],
                     axis=0,
                 )
-                C_parts = _hi_lo(C, 2)
-                return Dg + _mxu(C_parts, ohT, dtype, _SCATTER_DIMS)
+                return Dg + _scatter2(C, ohr, qsel, dtype)
 
-            Dg0 = jnp.zeros((16, Npad), dtype)
-            Dg = jax.lax.fori_loop(0, nt, tile_body, Dg0)
+            Dg0 = jnp.zeros((12 * Q, 128), dtype)
+            Dg = jax.lax.fori_loop(0, nt, tile_body, Dg0).reshape(12, Npad)
             D = tuple(D[e] + Dg[e : e + 1] for e in range(9))
             g = tuple(g[a] + Dg[9 + a : 10 + a] for a in range(3))
 
@@ -435,12 +490,12 @@ def _gn_kernel(
             out += _pl_bmv(Upl, _roll(v, -1, 1))
             out += _pl_bmv(Lpl, _roll(v, 1, 1))
             if n_tiles:
-                v_parts = _hi_lo(v, 2)
+                v_parts = _hi_lo(v.reshape(3 * Q, 128), hvp_splits)
 
                 def tile_body(t, acc):
-                    sl = pl.ds(t * 2 * tile, 2 * tile)
-                    ohT = (node_col == eidx_ref[0:1, sl]).astype(jnp.bfloat16)
-                    vg = _mxu(v_parts, ohT, dtype, _GATHER_DIMS)  # (3, 2T)
+                    idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
+                    ohr, qsel = _tile_qr(idx, Q, dtype)
+                    vg = _gather2(v_parts, ohr, qsel, 3, Q, dtype)  # (3, 2T)
                     vi = tuple(vg[a : a + 1, :tile] for a in range(3))
                     vj = tuple(vg[a : a + 1, tile:] for a in range(3))
                     A = tuple(
@@ -453,10 +508,14 @@ def _gn_kernel(
                         [jnp.concatenate([yi[a], yj[a]], axis=1) for a in range(3)],
                         axis=0,
                     )
-                    y_parts = _hi_lo(ys, 2)
-                    return acc + _mxu(y_parts, ohT, dtype, _SCATTER_DIMS)
+                    return acc + _scatter2(
+                        ys, ohr, qsel, dtype, n_splits=hvp_splits
+                    )
 
-                out = jax.lax.fori_loop(0, nt, tile_body, out)
+                acc0 = jnp.zeros((3 * Q, 128), dtype)
+                out = out + jax.lax.fori_loop(
+                    0, nt, tile_body, acc0
+                ).reshape(3, Npad)
             return out
 
         # --- preconditioned CG (fixed iteration count) ----------------------
@@ -576,6 +635,7 @@ def _pack_loop_edges(edges, meas, sqrt_info, mask, c, dtype, tile: int):
     static_argnames=(
         "iterations", "cg_iters", "huber_delta", "interpret", "lm",
         "lam0", "lam_factor", "lam_min", "lam_max", "pcr_levels",
+        "edge_tile", "hvp_splits",
     ),
 )
 def _fused_solve(
@@ -591,6 +651,8 @@ def _fused_solve(
     lam_min: float = 1e-10,
     lam_max: float = 1e7,
     pcr_levels: int | None = None,
+    edge_tile: int = _EDGE_TILE,
+    hvp_splits: int = 2,
 ):
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -606,11 +668,11 @@ def _fused_solve(
         # factorization cost drops linearly in levels.
         K = min(K, max(1, pcr_levels))
     c = min(graph.chain_prefix, N - 1)
-    # Edge tiles stay 128 wide: Mosaic requires lane-axis dynamic-slice
-    # offsets to be 128-multiples. Large graphs (city10000) fit via the
-    # raised vmem_limit below (v5e has 128 MiB physical VMEM; 16 MiB is
-    # only the compiler's default scoped budget).
-    tile = _EDGE_TILE
+    # Edge tiles are 128-multiples wide: Mosaic requires lane-axis
+    # dynamic-slice offsets to be 128-multiples. Large graphs (city10000)
+    # fit via the raised vmem_limit below (v5e has 128 MiB physical VMEM;
+    # 16 MiB is only the compiler's default scoped budget).
+    tile = edge_tile
     pcr_bf16 = False
 
     poses_pl = jnp.zeros((3, Npad), dtype).at[:, :N].set(poses0.T)
@@ -656,6 +718,7 @@ def _fused_solve(
             _gn_kernel, N=N, Npad=Npad, K=K, n_gn=iterations,
             cg_iters=cg_iters, n_tiles=n_tiles, eps=3e-4,
             huber_delta=huber_delta, tile=tile, pcr_bf16=pcr_bf16,
+            hvp_splits=hvp_splits,
             lm=lm, lam0=lam0, lam_factor=lam_factor, lam_min=lam_min,
             lam_max=lam_max,
         ),
@@ -683,6 +746,8 @@ def fused_gn_solve(
     huber_delta: float = -1.0,
     interpret: bool | None = None,
     pcr_levels: int | None = None,
+    edge_tile: int = _EDGE_TILE,
+    hvp_splits: int = 2,
 ) -> jnp.ndarray:
     """Run `iterations` full Gauss-Newton iterations in one Pallas kernel.
 
@@ -696,7 +761,7 @@ def fused_gn_solve(
     out, _ = _fused_solve(
         poses0, graph, iterations=iterations, cg_iters=cg_iters,
         huber_delta=huber_delta, interpret=interpret, lm=False,
-        pcr_levels=pcr_levels,
+        pcr_levels=pcr_levels, edge_tile=edge_tile, hvp_splits=hvp_splits,
     )
     return out
 
@@ -713,6 +778,8 @@ def fused_lm_solve(
     lam_max: float = 1e7,
     interpret: bool | None = None,
     pcr_levels: int | None = None,
+    edge_tile: int = _EDGE_TILE,
+    hvp_splits: int = 2,
 ):
     """Full Levenberg-Marquardt — damped solve, candidate chi2,
     accept/reject, lambda schedule — entirely inside ONE Pallas kernel for
@@ -730,6 +797,6 @@ def fused_lm_solve(
         poses0, graph, iterations=iterations, cg_iters=cg_iters,
         huber_delta=huber_delta, interpret=interpret, lm=True,
         lam0=lam0, lam_factor=lam_factor, lam_min=lam_min, lam_max=lam_max,
-        pcr_levels=pcr_levels,
+        pcr_levels=pcr_levels, edge_tile=edge_tile, hvp_splits=hvp_splits,
     )
     return out, stats[0, 0], stats[0, 1]

@@ -207,6 +207,8 @@ def lm_solve(
             lam_min=cfg.min_lambda,
             lam_max=cfg.max_lambda,
             pcr_levels=cfg.pcr_levels,
+            edge_tile=cfg.edge_tile,
+            hvp_splits=cfg.hvp_splits,
         )
         return LMState(
             poses=poses,
@@ -233,6 +235,8 @@ def _gn_loop(poses0, graph, cfg: SolverConfig, mode: str, iterations: int):
             iterations=iterations,
             cg_iters=cfg.cg_max_iterations,
             pcr_levels=cfg.pcr_levels,
+            edge_tile=cfg.edge_tile,
+            hvp_splits=cfg.hvp_splits,
         )
 
     def body(poses, _):

@@ -164,28 +164,33 @@ def main():
             # (RESULTS.md truncated-PCR sweep).
             SolverConfig(mode="gn_fused", cg_max_iterations=25,
                          use_huber_on_loops=True, max_iterations=80,
-                         pcr_levels=4),
+                         pcr_levels=4, edge_tile=512, hvp_splits=1),
             iters=50,
         )
     if "city10000" not in skip and not args.quick:
         out["city10000_gn_fused"] = bench_posegraph(
             "city10000", datasets.city10000(),
+            # round-3 sweep winners (equal chi2/ATE): truncated PCR,
+            # 1024-wide edge tiles, bf16 CG matvec.
             SolverConfig(mode="gn_fused", cg_max_iterations=50,
-                         max_iterations=100),
+                         max_iterations=100, pcr_levels=4,
+                         edge_tile=1024, hvp_splits=1),
             iters=20,
         )
     if "sphere2500" not in skip and not args.quick:
         out["sphere2500_se3"] = bench_posegraph(
             "sphere2500", datasets.sphere2500(),
+            # exact PCR (truncation hurts sphere's ring topology);
+            # wide tiles + bf16 matvec are quality-neutral here too.
             SolverConfig(mode="gn_fused", cg_max_iterations=25,
-                         max_iterations=80),
+                         max_iterations=80, edge_tile=512, hvp_splits=1),
             iters=20,
         )
     if "garage" not in skip and not args.quick:
         out["garage_se3"] = bench_posegraph(
             "garage", datasets.garage(),
             SolverConfig(mode="gn_fused", cg_max_iterations=25,
-                         max_iterations=60),
+                         max_iterations=60, edge_tile=256, hvp_splits=1),
             iters=20,
         )
     if "frontend" not in skip:
