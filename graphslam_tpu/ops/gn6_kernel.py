@@ -61,16 +61,145 @@ from graphslam_tpu.ops.gn_kernel import (
     _m3_scale,
     _m3_Tvec,
     _m3_vec,
-    _rows_to_planes,
+    _p_binv,
+    _p_bmm,
+    _p_bmv,
+    _p_lane_roll,
+    _p_planes,
+    _p_T,
+    _p_tall,
+    _p_untall,
+    _proll,
 )
-from graphslam_tpu.ops.pcg6_kernel import (
-    _g_bmv,
-    _g_pcr_apply,
-    _g_pcr_factor,
-    _g_T as _gpl_T,
-    _g_lane_roll as _gpl_lane_roll,
-)
-from graphslam_tpu.ops.pcg_kernel import _EDGE_TILE, _roll
+from graphslam_tpu.ops.pcg_kernel import _EDGE_TILE
+
+
+# ---------------------------------------------------------------------------
+# Packed 6x6 grid algebra: a "pg6" is a 4-tuple (P, Q, R, S) of PACKED plane
+# sets (gn_kernel.py's nested tuples P[d][a] of (8, L) fields): M = [[P, Q],
+# [R, S]]. The packed mirror of pcg6_kernel.py's grid-of-planes algebra —
+# component reindexing is free at trace time, every op fills all 8 VPU
+# sublanes.
+# ---------------------------------------------------------------------------
+
+
+def _p_add(A, B):
+    return tuple(tuple(x + y for x, y in zip(ra, rb)) for ra, rb in zip(A, B))
+
+
+def _pg_bmm(A, B):
+    AP, AQ, AR, AS = A
+    BP, BQ, BR, BS = B
+    return (
+        _p_add(_p_bmm(AP, BP), _p_bmm(AQ, BR)),
+        _p_add(_p_bmm(AP, BQ), _p_bmm(AQ, BS)),
+        _p_add(_p_bmm(AR, BP), _p_bmm(AS, BR)),
+        _p_add(_p_bmm(AR, BQ), _p_bmm(AS, BS)),
+    )
+
+
+def _p_subps(A, B):
+    return tuple(tuple(x - y for x, y in zip(ra, rb)) for ra, rb in zip(A, B))
+
+
+def _pg_sub(A, B):
+    return tuple(_p_subps(pa, pb) for pa, pb in zip(A, B))
+
+
+def _pg_neg(A):
+    return tuple(
+        tuple(tuple(-x for x in r) for r in q) for q in A
+    )
+
+
+def _pg_lane_roll(A, h: int):
+    return tuple(_p_lane_roll(q, h) for q in A)
+
+
+def _pg_T(A):
+    AP, AQ, AR, AS = A
+    return (_p_T(AP), _p_T(AR), _p_T(AQ), _p_T(AS))
+
+
+def _pg_ridge(M, eps: float):
+    """M + (eps * |trace| / 6 + 1e-8) * I in grid space (cf. _g_ridge)."""
+    P, Q, R, S = M
+    tr = P[0][0] + P[0][1] + P[0][2] + S[0][0] + S[0][1] + S[0][2]
+    t = jnp.abs(tr) * (eps / 6.0) + 1e-8
+    return (
+        (tuple(P[0][a] + t for a in range(3)), P[1], P[2]),
+        Q,
+        R,
+        (tuple(S[0][a] + t for a in range(3)), S[1], S[2]),
+    )
+
+
+def _pg_binv(M):
+    """6x6 block inverse via the Schur complement of S (cf. _g_binv)."""
+    P, Q, R, S = M
+    Sinv = _p_binv(S)
+    QSi = _p_bmm(Q, Sinv)
+    schur = _p_subps(P, _p_bmm(QSi, _p_T(Q)))
+    TL = _p_binv(schur)
+    TR = tuple(tuple(-x for x in r) for r in _p_bmm(TL, QSi))
+    BR = _p_subps(Sinv, _p_bmm(_p_T(QSi), TR))
+    return (TL, TR, _p_T(TR), BR)
+
+
+def _pg_bmv(M, v):
+    """Grid block matvec on a 6-tuple of packed fields."""
+    P, Q, R, S = M
+    vt, vb = v[:3], v[3:]
+    top = tuple(
+        x + y for x, y in zip(_p_bmv(P, vt), _p_bmv(Q, vb))
+    )
+    bot = tuple(
+        x + y for x, y in zip(_p_bmv(R, vt), _p_bmv(S, vb))
+    )
+    return top + bot
+
+
+def _pg_cast(A, dtype):
+    return tuple(
+        tuple(tuple(x.astype(dtype) for x in r) for r in q) for q in A
+    )
+
+
+def _pg_pcr_factor(Dt, Ut, Lt, K: int, eps: float, store_dtype=None):
+    """PCR elimination over packed 6x6 block-tridiagonal grids."""
+    if store_dtype is None:
+        store_dtype = Dt[0][0][0].dtype
+    A_steps, G_steps = [], []
+    for k in range(K):
+        h = 1 << k
+        Dt = _pg_ridge(Dt, eps)
+        Dinv = _pg_binv(Dt)
+        alpha = _pg_bmm(Lt, _pg_lane_roll(Dinv, h))
+        gamma = _pg_bmm(Ut, _pg_lane_roll(Dinv, -h))
+        A_steps.append(_pg_cast(alpha, store_dtype))
+        G_steps.append(_pg_cast(gamma, store_dtype))
+        Dt = _pg_sub(
+            _pg_sub(Dt, _pg_bmm(alpha, _pg_lane_roll(Ut, h))),
+            _pg_bmm(gamma, _pg_lane_roll(Lt, -h)),
+        )
+        Lt, Ut = (
+            _pg_neg(_pg_bmm(alpha, _pg_lane_roll(Lt, h))),
+            _pg_neg(_pg_bmm(gamma, _pg_lane_roll(Ut, -h))),
+        )
+    DinvF = _pg_binv(_pg_ridge(Dt, eps))
+    return A_steps, G_steps, DinvF
+
+
+def _pg_pcr_apply(A_steps, G_steps, DinvF, b):
+    dt = b[0].dtype
+    for k in range(len(A_steps)):
+        h = 1 << k
+        bm = tuple(_proll(x, h) for x in b)
+        bp = tuple(_proll(x, -h) for x in b)
+        t1 = _pg_bmv(_pg_cast(A_steps[k], dt), bm)
+        t2 = _pg_bmv(_pg_cast(G_steps[k], dt), bp)
+        b = tuple(b[a] - t1[a] - t2[a] for a in range(6))
+    return _pg_bmv(DinvF, b)
 
 
 # ---------------------------------------------------------------------------
@@ -448,19 +577,18 @@ def _residual6(xi, xj, z, W):
     return _g6_vec(W, _se3_log(d))
 
 
-def _rows_g6(ref, sl=None):
-    """36 consecutive rows (6x6 row-major) -> g6 of rowmats."""
-    def row(a):
-        return ref[a : a + 1] if sl is None else ref[a : a + 1, sl]
-
+def _tuple_g6(rows):
+    """Indexable of 36 packed fields (6x6 row-major) -> g6 of rowmats."""
     def quad(r0, c0):
-        return tuple(row(6 * (r0 + a) + c0 + b) for a in range(3) for b in range(3))
+        return tuple(
+            rows[6 * (r0 + a) + c0 + b] for a in range(3) for b in range(3)
+        )
 
     return (quad(0, 0), quad(0, 3), quad(3, 0), quad(3, 3))
 
 
-def _g6_to_planes(G):
-    return tuple(_rows_to_planes(q) for q in G)
+def _pg_to_planes(G):
+    return tuple(_p_planes(q) for q in G)
 
 
 # ---------------------------------------------------------------------------
@@ -478,20 +606,36 @@ def _gn6_kernel(
     nt = jnp.minimum(nt_ref[0, 0], n_tiles)
     dtype = poses_ref.dtype
     Q = Npad // 128
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Npad), 1)
-    padrow = (lane >= N).astype(dtype)
+    L = Npad // 8
+    nidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, L), 0) * L
+        + jax.lax.broadcasted_iota(jnp.int32, (8, L), 1)
+    )
+    padrow = (nidx >= N).astype(dtype)
+
+    def _comps(ref, n):
+        return tuple(ref[8 * a : 8 * (a + 1)] for a in range(n))
+
+    def _rows_g6p(ref):
+        """Packed g6 from 36 consecutive 8-row groups (6x6 row-major)."""
+        def quad(r0, c0):
+            return tuple(
+                ref[8 * (6 * (r0 + a) + c0 + b) : 8 * (6 * (r0 + a) + c0 + b) + 8]
+                for a in range(3) for b in range(3)
+            )
+
+        return (quad(0, 0), quad(0, 3), quad(3, 0), quad(3, 3))
 
     def chain_parts(poses):
-        rows = tuple(poses[a : a + 1] for a in range(12))
-        xi = _pose_of(rows)
-        xj = _pose_of(tuple(_roll(r, -1, 1) for r in rows))
-        z = _pose_of(tuple(cz_ref[a : a + 1] for a in range(12)))
-        W = _rows_g6(cW_ref)
+        xi = _pose_of(poses)
+        xj = _pose_of(tuple(_proll(r, -1) for r in poses))
+        z = _pose_of(_comps(cz_ref, 12))
+        W = _rows_g6p(cW_ref)
         return xi, xj, z, W
 
     def prior_parts():
-        z = _pose_of(tuple(pz_ref[a : a + 1] for a in range(12)))
-        W = _rows_g6(pW_ref)
+        z = _pose_of(_comps(pz_ref, 12))
+        W = _rows_g6p(pW_ref)
         return z, W
 
     def tile_edge_parts(poses_parts, t):
@@ -517,7 +661,7 @@ def _gn6_kernel(
         e += sum(jnp.sum(x * x) for x in rp)
 
         if n_tiles:
-            p_parts = _hi_lo(poses.reshape(12 * Q, 128), 3)
+            p_parts = _hi_lo(_p_tall(poses), 3)
 
             def tile_body(t, acc):
                 _, xi_t, xj_t, z_t, W_t = tile_edge_parts(p_parts, t)
@@ -542,10 +686,10 @@ def _gn6_kernel(
 
         # node n: D[n] = Aii[n] + Ajj[n-1] (+ prior); g likewise.
         D = tuple(
-            tuple(qa[e] + _roll(qb[e], 1, 1) for e in range(9))
+            tuple(qa[e] + _proll(qb[e], 1) for e in range(9))
             for qa, qb in zip(Aii, Ajj)
         )
-        g = tuple(gi[a] + _roll(gj[a], 1, 1) for a in range(6))
+        g = tuple(gi[a] + _proll(gj[a], 1) for a in range(6))
         U = Aij
 
         # priors: r = Log(z^-1 x), J = Jr^{-1}(r).
@@ -568,7 +712,7 @@ def _gn6_kernel(
 
         # loop edges
         if n_tiles:
-            p_parts = _hi_lo(poses.reshape(12 * Q, 128), 3)
+            p_parts = _hi_lo(_p_tall(poses), 3)
 
             def tile_body(t, carry):
                 Dg = carry  # tall (42*Q, 128): rows 0-35 D entries, 36-41 g
@@ -589,9 +733,11 @@ def _gn6_kernel(
                 return Dg + _scatter2(C, *oh, dtype)
 
             Dg0 = jnp.zeros((42 * Q, 128), dtype)
-            Dg = jax.lax.fori_loop(0, nt, tile_body, Dg0).reshape(42, Npad)
-            D = _g6_add_grid(D, _rows_g6(Dg))
-            g = tuple(g[a] + Dg[36 + a : 37 + a] for a in range(6))
+            Dg = _p_untall(
+                jax.lax.fori_loop(0, nt, tile_body, Dg0), 42, L
+            )
+            D = _g6_add_grid(D, _tuple_g6(Dg))
+            g = tuple(g[a] + Dg[36 + a] for a in range(6))
 
         # Marquardt damping on the 6 diagonal entries.
         scale = 1.0 + lam
@@ -602,21 +748,22 @@ def _gn6_kernel(
         )
 
         # grids of plane sets + PCR factorization of the chain preconditioner
-        Dpl = _g6_to_planes(D)
-        Upl = _g6_to_planes(U)
-        # L[i] = U[i-1]^T; U rows are zero at the last chain lane and beyond,
-        # so the circular roll wraps only zeros.
-        Lpl = _gpl_lane_roll(_gpl_T(Upl), 1)
-        A_steps, G_steps, DinvF = _g_pcr_factor(Dpl, Upl, Lpl, K, eps)
+        Dpl = _pg_to_planes(D)
+        Upl = _pg_to_planes(U)
+        # L[i] = U[i-1]^T; U entries are zero at the last chain node and
+        # beyond, so the circular roll wraps only zeros.
+        Lpl = _pg_lane_roll(_pg_T(Upl), 1)
+        A_steps, G_steps, DinvF = _pg_pcr_factor(Dpl, Upl, Lpl, K, eps)
 
-        b = -jnp.concatenate(g, axis=0)  # (6, Npad)
+        b = tuple(-g[a] for a in range(6))
 
         def hvp(v):
-            out = _g_bmv(Dpl, v)
-            out += _g_bmv(Upl, _roll(v, -1, 1))
-            out += _g_bmv(Lpl, _roll(v, 1, 1))
+            h1 = _pg_bmv(Dpl, v)
+            h2 = _pg_bmv(Upl, tuple(_proll(x, -1) for x in v))
+            h3 = _pg_bmv(Lpl, tuple(_proll(x, 1) for x in v))
+            out = tuple(h1[a] + h2[a] + h3[a] for a in range(6))
             if n_tiles:
-                v_parts = _hi_lo(v.reshape(6 * Q, 128), hvp_splits)
+                v_parts = _hi_lo(_p_tall(v), hvp_splits)
 
                 def tile_body(t, acc):
                     idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
@@ -643,44 +790,49 @@ def _gn6_kernel(
                     )
 
                 acc0 = jnp.zeros((6 * Q, 128), dtype)
-                out = out + jax.lax.fori_loop(
-                    0, nt, tile_body, acc0
-                ).reshape(6, Npad)
+                tg = _p_untall(
+                    jax.lax.fori_loop(0, nt, tile_body, acc0), 6, L
+                )
+                out = tuple(out[a] + tg[a] for a in range(6))
             return out
 
         tiny = jnp.asarray(1e-30, dtype)
         r = b
-        zv = _g_pcr_apply(A_steps, G_steps, DinvF, r)
+        zv = _pg_pcr_apply(A_steps, G_steps, DinvF, r)
         p = zv
-        rz = jnp.sum(r * zv)
-        x = jnp.zeros_like(b)
+        rz = sum(jnp.sum(r[a] * zv[a]) for a in range(6))
+        x = tuple(jnp.zeros_like(v) for v in b)
 
         def cg_body(_, carry):
             x, r, p, rz = carry
             Ap_ = hvp(p)
-            pAp = jnp.sum(p * Ap_)
+            pAp = sum(jnp.sum(p[a] * Ap_[a]) for a in range(6))
             alpha = rz / jnp.maximum(pAp, tiny)
-            x = x + alpha * p
-            r = r - alpha * Ap_
-            zv = _g_pcr_apply(A_steps, G_steps, DinvF, r)
-            rz_new = jnp.sum(r * zv)
+            x = tuple(x[a] + alpha * p[a] for a in range(6))
+            r = tuple(r[a] - alpha * Ap_[a] for a in range(6))
+            zv = _pg_pcr_apply(A_steps, G_steps, DinvF, r)
+            rz_new = sum(jnp.sum(r[a] * zv[a]) for a in range(6))
             beta = rz_new / jnp.maximum(rz, tiny)
-            p = zv + beta * p
+            p = tuple(zv[a] + beta * p[a] for a in range(6))
             return x, r, p, rz_new
 
         x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x, r, p, rz))
         return x
 
     def retract(poses, x):
-        rows = tuple(poses[a : a + 1] for a in range(12))
-        Rm, t = _pose_of(rows)
-        e = _se3_exp(tuple(x[a : a + 1] for a in range(6)))
+        Rm, t = _pose_of(poses)
+        e = _se3_exp(x)
         Rn, tn = _se3_compose((Rm, t), e)
         Rn = _renorm(Rn)
-        return jnp.concatenate(list(Rn) + list(tn), axis=0)
+        return tuple(Rn) + tuple(tn)
 
     i0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     i1 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    poses0 = _comps(poses_ref, 12)
+
+    def write_out(poses):
+        for a in range(12):
+            out_ref[8 * a : 8 * (a + 1)] = poses[a]
 
     if not lm:
         zero = jnp.asarray(0.0, dtype)
@@ -688,7 +840,7 @@ def _gn6_kernel(
         def gn_iter(_, poses):
             return retract(poses, solve_dx(poses, zero))
 
-        out_ref[:] = jax.lax.fori_loop(0, n_gn, gn_iter, poses_ref[:])
+        write_out(jax.lax.fori_loop(0, n_gn, gn_iter, poses0))
         stats_ref[:] = jnp.zeros((8, 128), dtype)
     else:
         def lm_iter(_, carry):
@@ -697,7 +849,9 @@ def _gn6_kernel(
             cand = retract(poses, x)
             new_err = chi2_of(cand)
             accepted = new_err < err
-            poses = jnp.where(accepted, cand, poses)
+            poses = tuple(
+                jnp.where(accepted, cand[a], poses[a]) for a in range(12)
+            )
             lam = jnp.where(
                 accepted,
                 jnp.maximum(lam / lam_factor, lam_min),
@@ -706,12 +860,12 @@ def _gn6_kernel(
             err = jnp.where(accepted, new_err, err)
             return poses, lam, err
 
-        err0 = chi2_of(poses_ref[:])
+        err0 = chi2_of(poses0)
         poses, lam, err = jax.lax.fori_loop(
             0, n_gn, lm_iter,
-            (poses_ref[:], jnp.asarray(lam0, dtype), err0),
+            (poses0, jnp.asarray(lam0, dtype), err0),
         )
-        out_ref[:] = poses
+        write_out(poses)
         stats_ref[:] = (
             jnp.where((i0 == 0) & (i1 == 0), err, 0.0)
             + jnp.where((i0 == 0) & (i1 == 1), lam, 0.0)
@@ -822,7 +976,9 @@ def _fused_solve6(
     if P != 12:
         raise ValueError("fused_gn6_solve expects (N, 12) SE(3) poses")
     dtype = poses0.dtype
-    Npad = -(-N // 128) * 128
+    # Packed (8, L) node fields need L = Npad/8 to be a lane multiple.
+    Npad = -(-N // 1024) * 1024
+    Lp = Npad // 8
     K = max(1, math.ceil(math.log2(max(N, 2))))
     if pcr_levels is not None:
         # Truncated PCR (see gn_kernel.py): inexact chain preconditioner,
@@ -831,15 +987,20 @@ def _fused_solve6(
     c = min(graph.chain_prefix, N - 1)
     tile = edge_tile
 
-    poses_pl = _identity_rows12(Npad, dtype).at[:, :N].set(poses0.T)
+    def pack(x):
+        """(R, Npad) node rows -> the packed (8R, L) layout (n = s*L + l)."""
+        R = x.shape[0]
+        return x.reshape(R, 8, Lp).reshape(8 * R, Lp)
 
-    # chain edge data: lanes k in [0, c); identity pose where masked.
+    poses_pl = pack(_identity_rows12(Npad, dtype).at[:, :N].set(poses0.T))
+
+    # chain edge data: nodes k in [0, c); identity pose where masked.
     cm = graph.edge_mask[:c]
     cz_rows = _mask_to_identity(graph.measurements[:c], cm)
-    cz = _identity_rows12(Npad, dtype).at[:, :c].set(cz_rows.T)
-    cW = jnp.zeros((36, Npad), dtype).at[:, :c].set(
+    cz = pack(_identity_rows12(Npad, dtype).at[:, :c].set(cz_rows.T))
+    cW = pack(jnp.zeros((36, Npad), dtype).at[:, :c].set(
         (graph.sqrt_info[:c] * cm[:, None, None].astype(dtype)).reshape(c, 36).T
-    )
+    ))
 
     # priors scattered per node (identity measurement where masked)
     pz_n = jnp.broadcast_to(
@@ -852,8 +1013,8 @@ def _fused_solve6(
     pW_n = jnp.zeros((Npad, 6, 6), dtype).at[graph.prior_idx].set(
         graph.prior_sqrt_info * graph.prior_mask[:, None, None].astype(dtype)
     )
-    pz = pz_n.T
-    pW = pW_n.reshape(Npad, 36).T
+    pz = pack(pz_n.T)
+    pW = pack(pW_n.reshape(Npad, 36).T)
 
     eidx, eld, n_tiles = _pack_loop_edges6(
         graph.edges, graph.measurements, graph.sqrt_info, graph.edge_mask,
@@ -882,7 +1043,7 @@ def _fused_solve6(
         + [vspec] * 7,
         out_specs=(vspec, vspec),
         out_shape=(
-            jax.ShapeDtypeStruct((12, Npad), dtype),
+            jax.ShapeDtypeStruct((96, Lp), dtype),
             jax.ShapeDtypeStruct((8, 128), dtype),
         ),
         scratch_shapes=[pltpu.VMEM((36, Epad), dtype)],
@@ -891,7 +1052,7 @@ def _fused_solve6(
         ),
         interpret=interpret,
     )(nt, poses_pl, cz, cW, pz, pW, eidx, eld)
-    return out[:, :N].T, stats
+    return out.reshape(12, Npad)[:, :N].T, stats
 
 
 def fused_gn6_solve(

@@ -17,17 +17,30 @@ launch-latency-bound XLA op soup. This module fuses the whole outer loop:
       preconditioned CG                    (fixed iteration count)
       retract poses on the SE(2) manifold
 
-Data layout: everything is component-rows — a pose field is a (3, Npad)
-array with poses on lanes, a 3x3 block field is 9 such rows (row-major).
-Chain edges (k, k+1) linearize with NO gathers at all: x_j is one lane roll
-of the pose planes. Loop edges gather/scatter through TWO-LEVEL one-hot
-matmuls (factor node index n = q*128 + r: a K=128 MXU matmul over r on the
-"tall" (A*Q, 128) reshape at full M utilization, then an exact VPU select
-over q — see the comment above _tile_qr) with hi/lo bf16 splits (3-way for
-pose gathers — exact to ~f32; 2-way for Hessian/gradient scatters, see
-CLAUDE.md on MXU precision). This replaced flat (Npad, 2T) one-hots in
-round 3: at city10000 scale those contracted K=10240 with M=3..16 of 128
-MXU rows and dominated the whole GN iteration (68.7 -> 176+ it/s).
+Data layout (round 3, "P8"): every logical node field is SUBLANE-PACKED —
+a per-node scalar row lives as an (8, L) array with L = Npad/8 and node
+n = s*L + l at sublane s, lane l. Round-3 profiling showed the previous
+(1, Npad) component-row layout left 7/8 VPU sublanes idle and the chain
+linearize + assembly dominated the whole GN iteration (m3500: ~0.50 ms of
+0.60; city10000: ~1.3 of 1.4 ms — measured with cg_iters=0 + chain-only
+graphs). Packing fills all 8 sublanes; a node roll becomes one lane roll
+plus two sublane rolls and a lane-iota select (`_proll`). 3x3 block
+fields are 9 such arrays (row-major); plane sets become nested Python
+tuples (component reindexing is free at trace time, where the old layout
+paid a sublane roll per access).
+
+Chain edges (k, k+1) linearize with NO gathers at all: x_j is one packed
+roll of the pose field. Loop edges gather/scatter through TWO-LEVEL
+one-hot matmuls (factor node index n = q*128 + r: a K=128 MXU matmul over
+r on the "tall" (A*Q, 128) reshape at full M utilization, then an exact
+VPU select over q — see the comment above _tile_qr) with hi/lo bf16
+splits (3-way for pose gathers — exact to ~f32; 2-way for
+Hessian/gradient scatters, see CLAUDE.md on MXU precision). The row-major
+(8, L) -> (8*L/128, 128) reshape preserves linear node indices, so the
+packed layout reuses the tall gather machinery unchanged. The two-level
+factorization replaced flat (Npad, 2T) one-hots earlier in round 3: at
+city10000 scale those contracted K=10240 with M=3..16 of 128 MXU rows and
+dominated the whole GN iteration (68.7 -> 378 it/s measured).
 
 This replaces gtsam::LevenbergMarquardtOptimizer's inner loop
 (/root/reference/src/graph/src/graph.cpp:119, SURVEY.md §3.3) — the one
@@ -44,14 +57,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from graphslam_tpu.ops.pcg_kernel import (
-    _EDGE_TILE,
-    _pl_bmv,
-    _pl_pcr_apply,
-    _pl_pcr_factor,
-    _roll,
-    _sub_roll,
-)
+from graphslam_tpu.ops.pcg_kernel import _EDGE_TILE, _roll
 
 _TWO_PI = 2.0 * math.pi
 
@@ -232,6 +238,174 @@ def _split3(x):
 
 
 # ---------------------------------------------------------------------------
+# Packed ("P8") layout: a per-node scalar field is an (8, L) array with node
+# n = s*L + l (sublane s, lane l), L = Npad/8 — all 8 VPU sublanes live. A
+# rowmat is 9 such arrays; a plane set is a NESTED tuple P[d][a] (the
+# rotation-trick planes of pcg_kernel.py, but with the component axis at
+# Python level: component reindexing is free at trace time instead of a
+# sublane roll per access).
+# ---------------------------------------------------------------------------
+
+
+def _proll(v, s: int):
+    """Packed node roll: y[n] = x[(n - s) mod Npad] on an (8, L) field.
+
+    One lane roll + (up to) two sublane rolls + a lane-iota select: with
+    s = a*L + b, lanes l >= b take sublane shift a, lanes l < b take a+1
+    (the lane roll borrowed across the sublane boundary).
+    """
+    S, L = v.shape
+    s = s % (S * L)
+    if s == 0:
+        return v
+    a, b = divmod(s, L)
+    z = _roll(v, b, 1)
+    za = _roll(z, a, 0)
+    if b == 0:
+        return za
+    zb = _roll(z, a + 1, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(lane < b, zb, za)
+
+
+def _proll3(v3, s: int):
+    return tuple(_proll(v, s) for v in v3)
+
+
+def _p_planes(M):
+    """Rowmat (9 packed arrays) -> plane set P[d][a] = M[3a + (a+d)%3]."""
+    return tuple(
+        tuple(M[3 * a + (a + d) % 3] for a in range(3)) for d in range(3)
+    )
+
+
+def _p_ridge(D, eps: float):
+    """Plane-space ridge (see pcg_kernel._pl_ridge) on a packed plane set."""
+    tr = D[0][0] + D[0][1] + D[0][2]
+    r = (eps / 3.0) * jnp.abs(tr) + 1e-8
+    return (tuple(D[0][a] + r for a in range(3)), D[1], D[2])
+
+
+def _p_binv(D):
+    """Adjugate 3x3 inverse on a packed plane set (pcg_kernel._pl_binv)."""
+    adj = []
+    for d in range(3):
+        adj.append(tuple(
+            D[(-d) % 3][(a + d + 1) % 3] * D[(-d) % 3][(a + d + 2) % 3]
+            - D[(1 - d) % 3][(a + d + 1) % 3] * D[(2 - d) % 3][(a + d + 2) % 3]
+            for a in range(3)
+        ))
+    det = [sum(D[d][a] * adj[d][a] for d in range(3)) for a in range(3)]
+    inv = [1.0 / jnp.where(jnp.abs(x) < 1e-20, 1e-20, x) for x in det]
+    return tuple(tuple(adj[d][a] * inv[a] for a in range(3)) for d in range(3))
+
+
+def _p_bmm(A, B):
+    """Per-node block product in packed plane space."""
+    return tuple(
+        tuple(
+            sum(A[dp][a] * B[(d - dp) % 3][(a + dp) % 3] for dp in range(3))
+            for a in range(3)
+        )
+        for d in range(3)
+    )
+
+
+def _p_T(A):
+    """Plane-set transpose: PT[d][a] = A[(-d)%3][(a+d)%3]."""
+    return tuple(
+        tuple(A[(-d) % 3][(a + d) % 3] for a in range(3)) for d in range(3)
+    )
+
+
+def _p_sub(A, B):
+    return tuple(tuple(x - y for x, y in zip(ra, rb)) for ra, rb in zip(A, B))
+
+
+def _p_neg(A):
+    return tuple(tuple(-x for x in r) for r in A)
+
+
+def _p_lane_roll(A, h: int):
+    return tuple(tuple(_proll(x, h) for x in r) for r in A)
+
+
+def _p_bmv(P, v):
+    """Block matvec: out[a] = sum_d P[d][a] * v[(a+d)%3]."""
+    return tuple(
+        sum(P[d][a] * v[(a + d) % 3] for d in range(3)) for a in range(3)
+    )
+
+
+def _p_pcr_factor(Dt, Ut, Lt, K: int, eps: float, store_dtype=None):
+    """PCR factorization over packed plane sets (pcg_kernel._pl_pcr_factor).
+
+    Boundary zero-fill is implicit exactly as in the unpacked version: the
+    packed roll is circular in the linear node index, and the coefficient
+    planes are zero at the same linear indices."""
+    if store_dtype is not None:
+        cast = lambda P: tuple(
+            tuple(x.astype(store_dtype) for x in r) for r in P
+        )
+    else:
+        cast = lambda P: P
+    A_steps, G_steps = [], []
+    for k in range(K):
+        h = 1 << k
+        Dt = _p_ridge(Dt, eps)
+        Dinv = _p_binv(Dt)
+        alpha = _p_bmm(Lt, _p_lane_roll(Dinv, h))
+        gamma = _p_bmm(Ut, _p_lane_roll(Dinv, -h))
+        A_steps.append(cast(alpha))
+        G_steps.append(cast(gamma))
+        Dt = _p_sub(
+            _p_sub(Dt, _p_bmm(alpha, _p_lane_roll(Ut, h))),
+            _p_bmm(gamma, _p_lane_roll(Lt, -h)),
+        )
+        Lt = _p_neg(_p_bmm(alpha, _p_lane_roll(Lt, h)))
+        Ut = _p_neg(_p_bmm(gamma, _p_lane_roll(Ut, -h)))
+    DinvF = _p_binv(_p_ridge(Dt, eps))
+    return A_steps, G_steps, DinvF
+
+
+def _p_pcr_apply(A_steps, G_steps, DinvF, b):
+    """Apply the packed PCR preconditioner to a 3-tuple of (8, L) fields."""
+    for k in range(len(A_steps)):
+        h = 1 << k
+        bm = _proll3(b, h)
+        bp = _proll3(b, -h)
+        b = tuple(
+            b[a]
+            - sum(
+                A_steps[k][d][a].astype(b[a].dtype) * bm[(a + d) % 3]
+                for d in range(3)
+            )
+            - sum(
+                G_steps[k][d][a].astype(b[a].dtype) * bp[(a + d) % 3]
+                for d in range(3)
+            )
+            for a in range(3)
+        )
+    return _p_bmv(DinvF, b)
+
+
+def _p_tall(comps):
+    """Packed components -> the tall (n_comp*Q, 128) gather layout. The
+    row-major (8, L) -> (8*L/128, 128) reshape preserves linear node
+    indices, so tall row a*Q + q holds exactly block q of component a."""
+    return jnp.concatenate([c.reshape(-1, 128) for c in comps], axis=0)
+
+
+def _p_untall(t, n_comp: int, L: int):
+    """Inverse of _p_tall for scatter accumulators: (n_comp*Q, 128) ->
+    tuple of (8, L)."""
+    Q = t.shape[0] // n_comp
+    return tuple(
+        t[a * Q : (a + 1) * Q].reshape(8, L) for a in range(n_comp)
+    )
+
+
+# ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
 
@@ -332,6 +506,16 @@ def _residual_rows(xi, xj, z, R):
     return _m3_vec(R, r)
 
 
+def _c3(ref):
+    """(24, L) ref -> 3-tuple of packed (8, L) component fields."""
+    return tuple(ref[8 * a : 8 * (a + 1)] for a in range(3))
+
+
+def _c9(ref):
+    """(72, L) ref -> 9-tuple of packed (8, L) rowmat entries."""
+    return tuple(ref[8 * e : 8 * (e + 1)] for e in range(9))
+
+
 def _gn_kernel(
     nt_ref, poses_ref, cz_ref, cR_ref, pz_ref, pR_ref, eidx_ref, eld_ref,
     out_ref, stats_ref, Aij_ref, *,
@@ -347,29 +531,32 @@ def _gn_kernel(
     nt = jnp.minimum(nt_ref[0, 0], n_tiles)
     dtype = poses_ref.dtype
     Q = Npad // 128
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Npad), 1)
-    padrow = (lane >= N).astype(dtype)  # identity on padding lanes
+    L = Npad // 8
+    nidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, L), 0) * L
+        + jax.lax.broadcasted_iota(jnp.int32, (8, L), 1)
+    )
+    padrow = (nidx >= N).astype(dtype)  # identity on padding nodes
 
     def chi2_of(poses):
         """Total robustified cost (factors/linearize.py::chi2 semantics:
         Huber rho on loop edges when enabled, plain squares elsewhere)."""
-        px, py, pth = _split3(poses)
-        xi = (px, py, pth)
-        xj = (_roll(px, -1, 1), _roll(py, -1, 1), _roll(pth, -1, 1))
-        cz = (cz_ref[0:1], cz_ref[1:2], cz_ref[2:3])
-        cR = tuple(cR_ref[a : a + 1] for a in range(9))
+        xi = poses
+        xj = _proll3(poses, -1)
+        cz = _c3(cz_ref)
+        cR = _c9(cR_ref)
         rw = _residual_rows(xi, xj, cz, cR)
         e = sum(jnp.sum(x * x) for x in rw)
 
-        pz = (pz_ref[0:1], pz_ref[1:2], pz_ref[2:3])
-        pR = tuple(pR_ref[a : a + 1] for a in range(9))
+        pz = _c3(pz_ref)
+        pR = _c9(pR_ref)
         dp = _se2_between(*pz, *xi)
         rp = _se2_log(*dp)
         rpw = _m3_vec(pR, rp)
         e += sum(jnp.sum(x * x) for x in rpw)
 
         if n_tiles:
-            p_parts = _hi_lo(poses.reshape(3 * Q, 128), 3)
+            p_parts = _hi_lo(_p_tall(poses), 3)
 
             def tile_body(t, acc):
                 idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
@@ -395,27 +582,26 @@ def _gn_kernel(
         return e
 
     def solve_dx(poses, lam):
-        px, py, pth = _split3(poses)
-        xi = (px, py, pth)
-        xj = (_roll(px, -1, 1), _roll(py, -1, 1), _roll(pth, -1, 1))
+        xi = poses
+        xj = _proll3(poses, -1)
 
         # --- chain edges: edge k couples nodes (k, k+1); everything is a
-        # lane roll, no gathers. Masked/absent edges have zero cR rows.
-        cz = (cz_ref[0:1], cz_ref[1:2], cz_ref[2:3])
-        cR = tuple(cR_ref[a : a + 1] for a in range(9))
+        # packed roll, no gathers. Masked/absent edges have zero cR rows.
+        cz = _c3(cz_ref)
+        cR = _c9(cR_ref)
         rw, Jiw, Jjw = _linearize_rows(xi, xj, cz, cR, -1.0)
         Aii, Aij, Ajj, gi, gj = _outer_blocks(Jiw, Jjw, rw)
 
         # node n: D[n] = Aii[n] + Ajj[n-1] + prior; g likewise.
         D = tuple(
-            Aii[e] + _roll(Ajj[e], 1, 1) for e in range(9)
+            Aii[e] + _proll(Ajj[e], 1) for e in range(9)
         )
-        g = tuple(gi[a] + _roll(gj[a], 1, 1) for a in range(3))
+        g = tuple(gi[a] + _proll(gj[a], 1) for a in range(3))
         U = Aij  # U[k] couples rows k, k+1
 
         # --- priors: r = Log(z^-1 x), J = Jr^{-1}(r) (linearize_priors).
-        pz = (pz_ref[0:1], pz_ref[1:2], pz_ref[2:3])
-        pR = tuple(pR_ref[a : a + 1] for a in range(9))
+        pz = _c3(pz_ref)
+        pR = _c9(pR_ref)
         dp = _se2_between(*pz, *xi)
         rp = _se2_log(*dp)
         Jp = _se2_jr_inv(*rp)
@@ -431,7 +617,7 @@ def _gn_kernel(
 
         # --- loop edges: tile loop, two-level one-hot gather/scatter -------
         if n_tiles:
-            p_parts = _hi_lo(poses.reshape(3 * Q, 128), 3)  # ~f32-exact
+            p_parts = _hi_lo(_p_tall(poses), 3)  # ~f32-exact
 
             def tile_body(t, carry):
                 Dg = carry  # tall (12*Q, 128): rows 0-8 D entries, 9-11 g
@@ -462,35 +648,36 @@ def _gn_kernel(
                 return Dg + _scatter2(C, ohr, qsel, dtype)
 
             Dg0 = jnp.zeros((12 * Q, 128), dtype)
-            Dg = jax.lax.fori_loop(0, nt, tile_body, Dg0).reshape(12, Npad)
-            D = tuple(D[e] + Dg[e : e + 1] for e in range(9))
-            g = tuple(g[a] + Dg[9 + a : 10 + a] for a in range(3))
+            Dg = _p_untall(jax.lax.fori_loop(0, nt, tile_body, Dg0), 12, L)
+            D = tuple(D[e] + Dg[e] for e in range(9))
+            g = tuple(g[a] + Dg[9 + a] for a in range(3))
 
         # Marquardt damping: diagonal entries scale by (1 + lam)
         # (normal_eq.py::_damped_diag with lm_diag_scaling). lam == 0 in GN.
         D = tuple(D[e] * (1.0 + lam) if e in (0, 4, 8) else D[e] for e in range(9))
 
         # --- plane sets + PCR factorization of the chain preconditioner ----
-        Dpl = _rows_to_planes(D)
-        Upl = _rows_to_planes(U)
-        # L[i] = U[i-1]^T: transpose = row relabel, shift = lane roll
+        Dpl = _p_planes(D)
+        Upl = _p_planes(U)
+        # L[i] = U[i-1]^T: transpose = entry relabel, shift = packed roll
         UT = _m3_T(U)
-        Lpl = tuple(_roll(p, 1, 1) for p in _rows_to_planes(UT))
-        # zero the wrapped lane-0 garbage (U[Npad-1] is already zero rows —
-        # chain rows are zero beyond c <= N-1 — so the roll is clean).
-        A_steps, G_steps, DinvF = _pl_pcr_factor(
+        Lpl = _p_lane_roll(_p_planes(UT), 1)
+        # zero the wrapped node-0 garbage (U[Npad-1] is already zero —
+        # chain entries are zero beyond c <= N-1 — so the roll is clean).
+        A_steps, G_steps, DinvF = _p_pcr_factor(
             Dpl, Upl, Lpl, K, eps,
             store_dtype=jnp.bfloat16 if pcr_bf16 else None,
         )
 
-        b = -jnp.concatenate(g, axis=0)  # (3, Npad)
+        b = tuple(-g[a] for a in range(3))
 
         def hvp(v):
-            out = _pl_bmv(Dpl, v)
-            out += _pl_bmv(Upl, _roll(v, -1, 1))
-            out += _pl_bmv(Lpl, _roll(v, 1, 1))
+            h1 = _p_bmv(Dpl, v)
+            h2 = _p_bmv(Upl, _proll3(v, -1))
+            h3 = _p_bmv(Lpl, _proll3(v, 1))
+            out = tuple(h1[a] + h2[a] + h3[a] for a in range(3))
             if n_tiles:
-                v_parts = _hi_lo(v.reshape(3 * Q, 128), hvp_splits)
+                v_parts = _hi_lo(_p_tall(v), hvp_splits)
 
                 def tile_body(t, acc):
                     idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
@@ -513,43 +700,47 @@ def _gn_kernel(
                     )
 
                 acc0 = jnp.zeros((3 * Q, 128), dtype)
-                out = out + jax.lax.fori_loop(
-                    0, nt, tile_body, acc0
-                ).reshape(3, Npad)
+                tg = _p_untall(
+                    jax.lax.fori_loop(0, nt, tile_body, acc0), 3, L
+                )
+                out = tuple(out[a] + tg[a] for a in range(3))
             return out
 
         # --- preconditioned CG (fixed iteration count) ----------------------
         tiny = jnp.asarray(1e-30, dtype)
         r = b
-        z = _pl_pcr_apply(A_steps, G_steps, DinvF, r)
+        z = _p_pcr_apply(A_steps, G_steps, DinvF, r)
         p = z
-        rz = jnp.sum(r * z)
-        x = jnp.zeros_like(b)
+        rz = sum(jnp.sum(r[a] * z[a]) for a in range(3))
+        x = tuple(jnp.zeros_like(v) for v in b)
 
         def cg_body(_, carry):
             x, r, p, rz = carry
             Ap = hvp(p)
-            pAp = jnp.sum(p * Ap)
+            pAp = sum(jnp.sum(p[a] * Ap[a]) for a in range(3))
             alpha = rz / jnp.maximum(pAp, tiny)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = _pl_pcr_apply(A_steps, G_steps, DinvF, r)
-            rz_new = jnp.sum(r * z)
+            x = tuple(x[a] + alpha * p[a] for a in range(3))
+            r = tuple(r[a] - alpha * Ap[a] for a in range(3))
+            z = _p_pcr_apply(A_steps, G_steps, DinvF, r)
+            rz_new = sum(jnp.sum(r[a] * z[a]) for a in range(3))
             beta = rz_new / jnp.maximum(rz, tiny)
-            p = z + beta * p
+            p = tuple(z[a] + beta * p[a] for a in range(3))
             return x, r, p, rz_new
 
         x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x, r, p, rz))
         return x
 
     def retract(poses, x):
-        px, py, pth = _split3(poses)
-        e = _se2_exp(x[0:1], x[1:2], x[2:3])
-        nx, ny, nth = _se2_compose(px, py, pth, *e)
-        return jnp.concatenate([nx, ny, nth], axis=0)
+        e = _se2_exp(*x)
+        return _se2_compose(*poses, *e)
 
     i0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     i1 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    poses0 = _c3(poses_ref)
+
+    def write_out(poses):
+        for a in range(3):
+            out_ref[8 * a : 8 * (a + 1)] = poses[a]
 
     if not lm:
         zero = jnp.asarray(0.0, dtype)
@@ -557,7 +748,7 @@ def _gn_kernel(
         def gn_iter(_, poses):
             return retract(poses, solve_dx(poses, zero))
 
-        out_ref[:] = jax.lax.fori_loop(0, n_gn, gn_iter, poses_ref[:])
+        write_out(jax.lax.fori_loop(0, n_gn, gn_iter, poses0))
         stats_ref[:] = jnp.zeros((8, 128), dtype)
     else:
         # Full Levenberg-Marquardt: damped solve, candidate chi2,
@@ -570,7 +761,9 @@ def _gn_kernel(
             cand = retract(poses, x)
             new_err = chi2_of(cand)
             accepted = new_err < err
-            poses = jnp.where(accepted, cand, poses)
+            poses = tuple(
+                jnp.where(accepted, cand[a], poses[a]) for a in range(3)
+            )
             lam = jnp.where(
                 accepted,
                 jnp.maximum(lam / lam_factor, lam_min),
@@ -579,12 +772,12 @@ def _gn_kernel(
             err = jnp.where(accepted, new_err, err)
             return poses, lam, err
 
-        err0 = chi2_of(poses_ref[:])
+        err0 = chi2_of(poses0)
         poses, lam, err = jax.lax.fori_loop(
             0, n_gn, lm_iter,
-            (poses_ref[:], jnp.asarray(lam0, dtype), err0),
+            (poses0, jnp.asarray(lam0, dtype), err0),
         )
-        out_ref[:] = poses
+        write_out(poses)
         stats_ref[:] = (
             jnp.where((i0 == 0) & (i1 == 0), err, 0.0)
             + jnp.where((i0 == 0) & (i1 == 1), lam, 0.0)
@@ -660,7 +853,9 @@ def _fused_solve(
     if T != 3:
         raise ValueError("fused_gn_solve supports T=3 (SE2) only")
     dtype = poses0.dtype
-    Npad = -(-N // 128) * 128
+    # Packed (8, L) node fields need L = Npad/8 to be a lane multiple.
+    Npad = -(-N // 1024) * 1024
+    L = Npad // 8
     K = max(1, math.ceil(math.log2(max(N, 2))))
     if pcr_levels is not None:
         # Truncated PCR: eliminate couplings only up to distance 2^levels.
@@ -675,16 +870,21 @@ def _fused_solve(
     tile = edge_tile
     pcr_bf16 = False
 
-    poses_pl = jnp.zeros((3, Npad), dtype).at[:, :N].set(poses0.T)
+    def pack(x):
+        """(R, Npad) node rows -> the packed (8R, L) layout (n = s*L + l)."""
+        R = x.shape[0]
+        return x.reshape(R, 8, L).reshape(8 * R, L)
 
-    # chain edge data: rows over lanes k in [0, c)
+    poses_pl = pack(jnp.zeros((3, Npad), dtype).at[:, :N].set(poses0.T))
+
+    # chain edge data: rows over nodes k in [0, c)
     cm = graph.edge_mask[:c].astype(dtype)
-    cz = jnp.zeros((3, Npad), dtype).at[:, :c].set(
+    cz = pack(jnp.zeros((3, Npad), dtype).at[:, :c].set(
         (graph.measurements[:c] * cm[:, None]).T
-    )
-    cR = jnp.zeros((9, Npad), dtype).at[:, :c].set(
+    ))
+    cR = pack(jnp.zeros((9, Npad), dtype).at[:, :c].set(
         (graph.sqrt_info[:c] * cm[:, None, None]).reshape(c, 9).T
-    )
+    ))
 
     # priors scattered per node
     pz_n = jnp.zeros((Npad, 3), dtype).at[graph.prior_idx].set(
@@ -693,8 +893,8 @@ def _fused_solve(
     pR_n = jnp.zeros((Npad, 3, 3), dtype).at[graph.prior_idx].set(
         graph.prior_sqrt_info * graph.prior_mask[:, None, None].astype(dtype)
     )
-    pz = pz_n.T
-    pR = pR_n.reshape(Npad, 9).T
+    pz = pack(pz_n.T)
+    pR = pack(pR_n.reshape(Npad, 9).T)
 
     eidx, eld, n_tiles = _pack_loop_edges(
         graph.edges, graph.measurements, graph.sqrt_info, graph.edge_mask,
@@ -726,7 +926,7 @@ def _fused_solve(
         + [vspec] * 7,
         out_specs=(vspec, vspec),
         out_shape=(
-            jax.ShapeDtypeStruct((3, Npad), dtype),
+            jax.ShapeDtypeStruct((24, L), dtype),
             jax.ShapeDtypeStruct((8, 128), dtype),
         ),
         scratch_shapes=[pltpu.VMEM((9, Epad), dtype)],
@@ -735,7 +935,7 @@ def _fused_solve(
         ),
         interpret=interpret,
     )(nt, poses_pl, cz, cR, pz, pR, eidx, eld)
-    return out[:, :N].T, stats
+    return out.reshape(3, Npad)[:, :N].T, stats
 
 
 def fused_gn_solve(
