@@ -44,7 +44,7 @@ def time_fn(fn, *args, reps=3):
     return min(ts)
 
 
-def bench_posegraph(name, data, cfg, iters, lm=False):
+def bench_posegraph(name, data, cfg, iters, lm=False, chain=8):
     from graphslam_tpu import metrics
     from graphslam_tpu.factors import from_dataset, chi2
     from graphslam_tpu.solver import lm_solve
@@ -59,8 +59,19 @@ def bench_posegraph(name, data, cfg, iters, lm=False):
     ate = float(metrics.ate(out.poses, gt))
     ate0 = float(metrics.ate(poses0, gt))
 
-    dt = time_fn(lambda p: _gn_loop(p, graph, cfg, mode, iters), poses0)
-    its = iters / dt
+    # Steady-state methodology (same as bench.py): the tunneled TPU has a
+    # ~27 ms RPC roundtrip per dispatch+fetch — several times the device
+    # time of a whole solve for the fast configs — so chain `chain` solves
+    # inside one jit (each feeding the next: a real data dependency) and
+    # fetch once.
+    @jax.jit
+    def solve_chain(p):
+        def body(p, _):
+            return _gn_loop(p, graph, cfg, mode, iters), None
+        return jax.lax.scan(body, p, None, length=chain)[0]
+
+    dt = time_fn(solve_chain, poses0)
+    its = chain * iters / dt
     log(f"{name}: mode={mode} ATE {ate0:.3f}->{ate:.3f} "
         f"chi2 {float(chi2(poses0, graph)):.0f}->{float(out.error):.0f} "
         f"{its:.1f} it/s")
