@@ -136,14 +136,20 @@ def bench_distributed(quick):
 
     results = {}
     n_dev = len(jax.devices())
+    chain = 4  # steady-state: amortize the relay RPC (see bench_posegraph)
     for nd in sorted({1, n_dev}):
         mesh = make_mesh(num_devices=nd)
         sharded = shard_graph(graph, mesh)
-        dt = time_fn(
-            lambda p: dist_gn_solve(p, sharded, mesh, cfg, iterations=iters), poses0
-        )
-        results[f"devices_{nd}"] = round(iters / dt, 2)
-        log(f"dist GN {nd} devices: {iters/dt:.1f} it/s")
+
+        @jax.jit
+        def solve_chain(p):
+            def body(p, _):
+                return dist_gn_solve(p, sharded, mesh, cfg, iterations=iters), None
+            return jax.lax.scan(body, p, None, length=chain)[0]
+
+        dt = time_fn(solve_chain, poses0)
+        results[f"devices_{nd}"] = round(chain * iters / dt, 2)
+        log(f"dist GN {nd} devices: {chain*iters/dt:.1f} it/s")
     if len(results) > 1:
         eff = results[f"devices_{n_dev}"] / (results["devices_1"] * n_dev)
         results["scaling_efficiency"] = round(eff, 3)
