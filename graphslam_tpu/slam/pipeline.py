@@ -243,21 +243,27 @@ def make_slam_step(cfg: SLAMConfig):
             & ~res_loop.degenerate
         )
 
+        # When the match is unreliable, fall back to raw odometry for the
+        # factor (the reference trusted a poor alignment — SURVEY.md §3.6.3).
+        delta = jnp.where(odo_ok, odo_delta, odom_acc)
+
         # --- keyframe decision (reference motion gate + our quality gate) ---
+        # The motion gate runs on the EFFECTIVE delta: a rejected match must
+        # still commit keyframes from dead-reckoned odometry, otherwise the
+        # pipeline deadlocks — scan overlap with the last keyframe only
+        # shrinks once the robot outruns the ICP basin, so no later match
+        # can ever succeed and the map freezes (the fitness term is gated on
+        # odo_ok because a failed match reports garbage fitness).
         moved_enough = (
-            (odo_fitness > fcfg.keyframe_fitness_threshold)
-            | (jnp.linalg.norm(res_odo.delta[:2]) > fcfg.keyframe_trans_threshold)
-            | (jnp.abs(res_odo.delta[2]) > fcfg.keyframe_rot_threshold)
+            (odo_ok & (odo_fitness > fcfg.keyframe_fitness_threshold))
+            | (jnp.linalg.norm(delta[:2]) > fcfg.keyframe_trans_threshold)
+            | (jnp.abs(delta[2]) > fcfg.keyframe_rot_threshold)
         )
         # Capacity guard: stop committing when arrays are full.
         at_capacity = (state.num_kf >= state.kf_poses.shape[0]) | (
             state.num_loops >= state.loop_edges.shape[0] - 1
         )
-        is_kf = (first | (moved_enough & odo_ok)) & ~at_capacity
-
-        # When the match is unreliable, fall back to raw odometry for the
-        # factor (the reference trusted a poor alignment — SURVEY.md §3.6.3).
-        delta = jnp.where(odo_ok, odo_delta, odom_acc)
+        is_kf = (first | moved_enough) & ~at_capacity
         new_pose = jnp.where(first, jnp.zeros(3, pts.dtype), se2.compose(last_pose, delta))
 
         do_loop = (
