@@ -71,7 +71,12 @@ def main():
     log(f"m3500: chi2 {float(chi2(poses0, graph)):.1f} -> "
         f"{float(chi2(out, graph)):.1f} in {iters} GN iters; "
         f"ATE {ate0:.3f} -> {ate:.3f}")
-    valid = ate < 0.5 * ate0
+    # HARD absolute gate: the converged ATE on this generator is stable at
+    # ~0.31 m (RESULTS.md rounds 2-3), so gate at 0.35 m. A relative-only
+    # gate (ate < 0.5*ate0) would let a 14x regression (ATE 4.2) still post
+    # 8000+ it/s — the absolute bound is what makes the number meaningful.
+    ATE_GATE_M = 0.35
+    valid = ate < ATE_GATE_M and ate < 0.5 * ate0
     if not valid:
         # HARD gate: a broken solver must not post a throughput number.
         log("ERROR: optimizer did not improve ATE enough; benchmark invalid")

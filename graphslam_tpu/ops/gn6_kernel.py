@@ -602,6 +602,7 @@ def _gn6_kernel(
     N: int, Npad: int, K: int, n_gn: int, cg_iters: int, n_tiles: int,
     eps: float, huber_delta: float, tile: int, hvp_splits: int,
     lm: bool, lam0: float, lam_factor: float, lam_min: float, lam_max: float,
+    abs_tol: float, rel_tol: float,
 ):
     nt = jnp.minimum(nt_ref[0, 0], n_tiles)
     dtype = poses_ref.dtype
@@ -843,8 +844,10 @@ def _gn6_kernel(
         write_out(jax.lax.fori_loop(0, n_gn, gn_iter, poses0))
         stats_ref[:] = jnp.zeros((8, 128), dtype)
     else:
+        # n_acc counts ACCEPTED steps and conv latches the _lm_loop
+        # convergence test (see gn_kernel.py) — stats slots 2 and 3.
         def lm_iter(_, carry):
-            poses, lam, err = carry
+            poses, lam, err, n_acc, conv = carry
             x = solve_dx(poses, lam)
             cand = retract(poses, x)
             new_err = chi2_of(cand)
@@ -852,23 +855,32 @@ def _gn6_kernel(
             poses = tuple(
                 jnp.where(accepted, cand[a], poses[a]) for a in range(12)
             )
+            decrease = err - new_err
+            conv = conv | (
+                accepted
+                & ((decrease < abs_tol) | (decrease < rel_tol * err))
+            ) | (lam >= lam_max)
             lam = jnp.where(
                 accepted,
                 jnp.maximum(lam / lam_factor, lam_min),
                 jnp.minimum(lam * lam_factor, lam_max),
             )
             err = jnp.where(accepted, new_err, err)
-            return poses, lam, err
+            n_acc = n_acc + jnp.where(accepted, 1.0, 0.0).astype(dtype)
+            return poses, lam, err, n_acc, conv
 
         err0 = chi2_of(poses0)
-        poses, lam, err = jax.lax.fori_loop(
+        poses, lam, err, n_acc, conv = jax.lax.fori_loop(
             0, n_gn, lm_iter,
-            (poses0, jnp.asarray(lam0, dtype), err0),
+            (poses0, jnp.asarray(lam0, dtype), err0,
+             jnp.asarray(0.0, dtype), jnp.bool_(False)),
         )
         write_out(poses)
         stats_ref[:] = (
             jnp.where((i0 == 0) & (i1 == 0), err, 0.0)
             + jnp.where((i0 == 0) & (i1 == 1), lam, 0.0)
+            + jnp.where((i0 == 0) & (i1 == 2), n_acc, 0.0)
+            + jnp.where((i0 == 0) & (i1 == 3), conv.astype(dtype), 0.0)
         ).astype(dtype)
 
 
@@ -951,7 +963,7 @@ def _pack_loop_edges6(edges, meas, sqrt_info, mask, c, dtype, tile: int):
     static_argnames=(
         "iterations", "cg_iters", "huber_delta", "interpret", "lm",
         "lam0", "lam_factor", "lam_min", "lam_max", "pcr_levels",
-        "edge_tile", "hvp_splits",
+        "edge_tile", "hvp_splits", "abs_tol", "rel_tol",
     ),
 )
 def _fused_solve6(
@@ -969,6 +981,8 @@ def _fused_solve6(
     pcr_levels: int | None = None,
     edge_tile: int = _EDGE_TILE,
     hvp_splits: int = 2,
+    abs_tol: float = 1e-9,
+    rel_tol: float = 1e-6,
 ):
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -1037,7 +1051,7 @@ def _fused_solve6(
             cg_iters=cg_iters, n_tiles=n_tiles, eps=3e-4,
             huber_delta=huber_delta, tile=tile, hvp_splits=hvp_splits,
             lm=lm, lam0=lam0, lam_factor=lam_factor, lam_min=lam_min,
-            lam_max=lam_max,
+            lam_max=lam_max, abs_tol=abs_tol, rel_tol=rel_tol,
         ),
         in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
         + [vspec] * 7,
@@ -1094,10 +1108,14 @@ def fused_lm6_solve(
     pcr_levels: int | None = None,
     edge_tile: int = _EDGE_TILE,
     hvp_splits: int = 2,
+    abs_tol: float = 1e-9,
+    rel_tol: float = 1e-6,
 ):
     """Full SE(3) Levenberg-Marquardt — damped solve, candidate chi2,
     accept/reject, lambda schedule — entirely inside ONE Pallas kernel.
-    Returns (poses (N, 12), final_chi2 (), final_lambda ()). Matches
+    Returns (poses (N, 12), final_chi2 (), final_lambda (),
+    accepted_steps (), converged ()) — see fused_lm_solve (gn_kernel.py)
+    for the accepted/converged semantics. Matches
     solver/lm.py::_lm_loop(mode="pcg_fused") step-for-step except the
     convergence early-exit (converged iterations keep polishing)."""
     out, stats = _fused_solve6(
@@ -1105,5 +1123,6 @@ def fused_lm6_solve(
         huber_delta=huber_delta, interpret=interpret, lm=True,
         lam0=lam0, lam_factor=lam_factor, lam_min=lam_min, lam_max=lam_max,
         pcr_levels=pcr_levels, edge_tile=edge_tile, hvp_splits=hvp_splits,
+        abs_tol=abs_tol, rel_tol=rel_tol,
     )
-    return out, stats[0, 0], stats[0, 1]
+    return out, stats[0, 0], stats[0, 1], stats[0, 2], stats[0, 3]

@@ -523,6 +523,7 @@ def _gn_kernel(
     eps: float, huber_delta: float, tile: int, pcr_bf16: bool,
     hvp_splits: int,
     lm: bool, lam0: float, lam_factor: float, lam_min: float, lam_max: float,
+    abs_tol: float, rel_tol: float,
 ):
     # Live tile count (SMEM scalar): loop-edge slots fill contiguously, so
     # the tile loops run over ceil(live_edges / tile) instead of the
@@ -755,8 +756,12 @@ def _gn_kernel(
         # accept/reject, classic lambda up/down schedule (solver/lm.py's
         # _lm_loop semantics minus the convergence early-exit — converged
         # iterations keep polishing at zero risk since worse steps reject).
+        # n_acc counts ACCEPTED steps and conv latches the _lm_loop
+        # convergence test (small accepted decrease, or lambda saturated) —
+        # so a stalled solve is distinguishable from a converged one
+        # (stats slots 2 and 3).
         def lm_iter(_, carry):
-            poses, lam, err = carry
+            poses, lam, err, n_acc, conv = carry
             x = solve_dx(poses, lam)
             cand = retract(poses, x)
             new_err = chi2_of(cand)
@@ -764,23 +769,32 @@ def _gn_kernel(
             poses = tuple(
                 jnp.where(accepted, cand[a], poses[a]) for a in range(3)
             )
+            decrease = err - new_err
+            conv = conv | (
+                accepted
+                & ((decrease < abs_tol) | (decrease < rel_tol * err))
+            ) | (lam >= lam_max)
             lam = jnp.where(
                 accepted,
                 jnp.maximum(lam / lam_factor, lam_min),
                 jnp.minimum(lam * lam_factor, lam_max),
             )
             err = jnp.where(accepted, new_err, err)
-            return poses, lam, err
+            n_acc = n_acc + jnp.where(accepted, 1.0, 0.0).astype(dtype)
+            return poses, lam, err, n_acc, conv
 
         err0 = chi2_of(poses0)
-        poses, lam, err = jax.lax.fori_loop(
+        poses, lam, err, n_acc, conv = jax.lax.fori_loop(
             0, n_gn, lm_iter,
-            (poses0, jnp.asarray(lam0, dtype), err0),
+            (poses0, jnp.asarray(lam0, dtype), err0,
+             jnp.asarray(0.0, dtype), jnp.bool_(False)),
         )
         write_out(poses)
         stats_ref[:] = (
             jnp.where((i0 == 0) & (i1 == 0), err, 0.0)
             + jnp.where((i0 == 0) & (i1 == 1), lam, 0.0)
+            + jnp.where((i0 == 0) & (i1 == 2), n_acc, 0.0)
+            + jnp.where((i0 == 0) & (i1 == 3), conv.astype(dtype), 0.0)
         ).astype(dtype)
 
 
@@ -828,7 +842,7 @@ def _pack_loop_edges(edges, meas, sqrt_info, mask, c, dtype, tile: int):
     static_argnames=(
         "iterations", "cg_iters", "huber_delta", "interpret", "lm",
         "lam0", "lam_factor", "lam_min", "lam_max", "pcr_levels",
-        "edge_tile", "hvp_splits",
+        "edge_tile", "hvp_splits", "abs_tol", "rel_tol",
     ),
 )
 def _fused_solve(
@@ -846,6 +860,8 @@ def _fused_solve(
     pcr_levels: int | None = None,
     edge_tile: int = _EDGE_TILE,
     hvp_splits: int = 2,
+    abs_tol: float = 1e-9,
+    rel_tol: float = 1e-6,
 ):
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -920,7 +936,7 @@ def _fused_solve(
             huber_delta=huber_delta, tile=tile, pcr_bf16=pcr_bf16,
             hvp_splits=hvp_splits,
             lm=lm, lam0=lam0, lam_factor=lam_factor, lam_min=lam_min,
-            lam_max=lam_max,
+            lam_max=lam_max, abs_tol=abs_tol, rel_tol=rel_tol,
         ),
         in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
         + [vspec] * 7,
@@ -980,6 +996,8 @@ def fused_lm_solve(
     pcr_levels: int | None = None,
     edge_tile: int = _EDGE_TILE,
     hvp_splits: int = 2,
+    abs_tol: float = 1e-9,
+    rel_tol: float = 1e-6,
 ):
     """Full Levenberg-Marquardt — damped solve, candidate chi2,
     accept/reject, lambda schedule — entirely inside ONE Pallas kernel for
@@ -988,15 +1006,21 @@ def fused_lm_solve(
     gtsam::LevenbergMarquardtOptimizer(graph, initial).optimize()
     (/root/reference/src/graph/src/graph.cpp:119).
 
-    Returns (poses (N, 3), final_chi2 (), final_lambda ()). Matches
+    Returns (poses (N, 3), final_chi2 (), final_lambda (),
+    accepted_steps (), converged ()). Matches
     solver/lm.py::_lm_loop(mode="pcg_fused") step-for-step except the
     convergence early-exit (converged iterations keep polishing; worse
-    steps reject, so the result is at least as converged).
+    steps reject, so the result is at least as converged). accepted_steps
+    counts the LM steps that actually improved chi2, and converged latches
+    _lm_loop's convergence test (small accepted decrease per abs_tol /
+    rel_tol, or lambda saturated) — a stalled solve reports
+    accepted_steps << iterations and converged=False.
     """
     out, stats = _fused_solve(
         poses0, graph, iterations=iterations, cg_iters=cg_iters,
         huber_delta=huber_delta, interpret=interpret, lm=True,
         lam0=lam0, lam_factor=lam_factor, lam_min=lam_min, lam_max=lam_max,
         pcr_levels=pcr_levels, edge_tile=edge_tile, hvp_splits=hvp_splits,
+        abs_tol=abs_tol, rel_tol=rel_tol,
     )
-    return out, stats[0, 0], stats[0, 1]
+    return out, stats[0, 0], stats[0, 1], stats[0, 2], stats[0, 3]

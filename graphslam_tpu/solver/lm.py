@@ -197,7 +197,7 @@ def lm_solve(
         else:
             from graphslam_tpu.ops.gn6_kernel import fused_lm6_solve as fused_lm_solve
 
-        poses, err, lam = fused_lm_solve(
+        poses, err, lam, n_acc, conv = fused_lm_solve(
             poses0, graph,
             iterations=cfg.max_iterations,
             cg_iters=cfg.cg_max_iterations,
@@ -209,13 +209,19 @@ def lm_solve(
             pcr_levels=cfg.pcr_levels,
             edge_tile=cfg.edge_tile,
             hvp_splits=cfg.hvp_splits,
+            abs_tol=cfg.abs_decrease_tol,
+            rel_tol=cfg.rel_decrease_tol,
         )
+        # iterations = ACCEPTED step count and converged = the _lm_loop
+        # convergence test, both tracked inside the kernel — a stalled
+        # solve (few accepts, no small-decrease step) is distinguishable
+        # from a converged one.
         return LMState(
             poses=poses,
             lam=lam,
             error=err,
-            iterations=jnp.int32(cfg.max_iterations),
-            converged=jnp.bool_(True),
+            iterations=n_acc.astype(jnp.int32),
+            converged=conv.astype(jnp.bool_),
         )
     return _lm_loop(poses0, graph, cfg, mode)
 

@@ -44,7 +44,14 @@ def time_fn(fn, *args, reps=3):
     return min(ts)
 
 
-def bench_posegraph(name, data, cfg, iters, lm=False, chain=8):
+def bench_posegraph(name, data, cfg, iters, lm=False, chain=8, ate_gate=None):
+    """Quality and throughput from the SAME solver configuration: the solve
+    that is timed (`iters` GN iterations of _gn_loop, or `iters` LM steps of
+    lm_solve when lm=True — Huber and all) is the solve whose ATE/chi2 are
+    reported. `ate_gate` is an ABSOLUTE meters bound; missing it marks the
+    row invalid (a broken solver must not post a throughput number)."""
+    import dataclasses
+
     from graphslam_tpu import metrics
     from graphslam_tpu.factors import from_dataset, chi2
     from graphslam_tpu.solver import lm_solve
@@ -54,10 +61,14 @@ def bench_posegraph(name, data, cfg, iters, lm=False, chain=8):
     poses0 = jnp.asarray(data["poses"])
     gt = jnp.asarray(data["gt"])
     mode = _solve_mode(cfg, poses0.shape[0])
+    if lm:
+        tcfg = dataclasses.replace(cfg, max_iterations=iters)
 
-    out = lm_solve(poses0, graph, cfg)
-    ate = float(metrics.ate(out.poses, gt))
-    ate0 = float(metrics.ate(poses0, gt))
+        def solve_one(p):
+            return lm_solve(p, graph, tcfg).poses
+    else:
+        def solve_one(p):
+            return _gn_loop(p, graph, cfg, mode, iters)
 
     # Steady-state methodology (same as bench.py): the tunneled TPU has a
     # ~27 ms RPC roundtrip per dispatch+fetch — several times the device
@@ -67,21 +78,32 @@ def bench_posegraph(name, data, cfg, iters, lm=False, chain=8):
     @jax.jit
     def solve_chain(p):
         def body(p, _):
-            return _gn_loop(p, graph, cfg, mode, iters), None
+            return solve_one(p), None
         return jax.lax.scan(body, p, None, length=chain)[0]
+
+    out = jax.jit(solve_one)(poses0)  # the exact solve being timed
+    ate = float(metrics.ate(out, gt))
+    ate0 = float(metrics.ate(poses0, gt))
+    chi2_final = float(chi2(out, graph))
 
     dt = time_fn(solve_chain, poses0)
     its = chain * iters / dt
-    log(f"{name}: mode={mode} ATE {ate0:.3f}->{ate:.3f} "
-        f"chi2 {float(chi2(poses0, graph)):.0f}->{float(out.error):.0f} "
-        f"{its:.1f} it/s")
-    return {
+    valid = ate_gate is None or ate < ate_gate
+    log(f"{name}: mode={mode} lm={lm} ATE {ate0:.3f}->{ate:.3f} "
+        f"(gate {ate_gate}) chi2 {float(chi2(poses0, graph)):.0f}->"
+        f"{chi2_final:.0f} {its:.1f} it/s valid={valid}")
+    row = {
         "ate_init": round(ate0, 4),
         "ate": round(ate, 4),
-        "chi2": round(float(out.error), 1),
-        "iterations_per_s": round(its, 2),
+        "chi2": round(chi2_final, 1),
+        "iterations_per_s": round(its, 2) if valid else 0.0,
         "mode": mode,
+        "lm": lm,
+        "valid": valid,
     }
+    if ate_gate is not None:
+        row["ate_gate"] = ate_gate
+    return row
 
 
 def bench_frontend(quick):
@@ -168,11 +190,14 @@ def main():
 
     out = {"devices": [str(d) for d in jax.devices()]}
 
+    # Absolute ATE gates (meters): the converged values on these generators
+    # are stable across rounds (RESULTS.md), so gate near them — a solver
+    # regression posts valid=false + 0 it/s instead of a fast wrong answer.
     if "intel" not in skip:
         out["intel_gn"] = bench_posegraph(
             "intel", datasets.intel_like(),
             SolverConfig(mode="gn_fused", cg_max_iterations=25,
-                         max_iterations=50), iters=25,
+                         max_iterations=50), iters=25, ate_gate=0.2,
         )
     if "m3500" not in skip:
         out["m3500_lm_huber"] = bench_posegraph(
@@ -182,7 +207,7 @@ def main():
             SolverConfig(mode="gn_fused", cg_max_iterations=25,
                          use_huber_on_loops=True, max_iterations=80,
                          pcr_levels=4, edge_tile=512, hvp_splits=1),
-            iters=50,
+            iters=50, lm=True, ate_gate=0.35,
         )
     if "city10000" not in skip and not args.quick:
         out["city10000_gn_fused"] = bench_posegraph(
@@ -192,7 +217,7 @@ def main():
             SolverConfig(mode="gn_fused", cg_max_iterations=50,
                          max_iterations=100, pcr_levels=4,
                          edge_tile=1024, hvp_splits=1),
-            iters=20,
+            iters=20, ate_gate=0.6,
         )
     if "sphere2500" not in skip and not args.quick:
         out["sphere2500_se3"] = bench_posegraph(
@@ -201,14 +226,14 @@ def main():
             # wide tiles + bf16 matvec are quality-neutral here too.
             SolverConfig(mode="gn_fused", cg_max_iterations=25,
                          max_iterations=80, edge_tile=512, hvp_splits=1),
-            iters=20,
+            iters=20, ate_gate=0.2,
         )
     if "garage" not in skip and not args.quick:
         out["garage_se3"] = bench_posegraph(
             "garage", datasets.garage(),
             SolverConfig(mode="gn_fused", cg_max_iterations=25,
                          max_iterations=60, edge_tile=256, hvp_splits=1),
-            iters=20,
+            iters=20, ate_gate=0.2,
         )
     if "frontend" not in skip:
         out["frontend"] = bench_frontend(args.quick)

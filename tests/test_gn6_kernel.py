@@ -78,11 +78,14 @@ def test_fused_lm6_matches_xla_lm():
         use_huber_on_loops=True, huber_delta=1.0,
     )
     ref = _lm_loop(poses0, graph, cfg, "pcg_fused")
-    out, err, lam = fused_lm6_solve(
+    out, err, lam, n_acc, conv = fused_lm6_solve(
         poses0, graph, iterations=3, cg_iters=15, huber_delta=1.0,
         lam0=cfg.init_lambda, lam_factor=cfg.lambda_factor,
         lam_min=cfg.min_lambda, lam_max=cfg.max_lambda,
+        abs_tol=0.0, rel_tol=0.0,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref.poses), atol=8e-3)
     c_ref = float(ref.error)
     assert abs(float(err) - c_ref) < 1e-2 * max(c_ref, 1.0), (float(err), c_ref)
+    assert 1 <= int(n_acc) <= 3
+    assert float(conv) == 0.0

@@ -99,11 +99,16 @@ def test_fused_lm_matches_xla_lm():
         use_huber_on_loops=True, huber_delta=1.0,
     )
     ref = _lm_loop(poses0, graph, cfg, "pcg_fused")
-    out, err, lam = fused_lm_solve(
+    out, err, lam, n_acc, conv = fused_lm_solve(
         poses0, graph, iterations=5, cg_iters=25, huber_delta=1.0,
         lam0=cfg.init_lambda, lam_factor=cfg.lambda_factor,
         lam_min=cfg.min_lambda, lam_max=cfg.max_lambda,
+        abs_tol=0.0, rel_tol=0.0,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref.poses), atol=3e-3)
     c_ref = float(ref.error)
     assert abs(float(err) - c_ref) < 1e-2 * max(c_ref, 1.0), (float(err), c_ref)
+    # a healthy LM run accepts steps; with zero tolerances nothing can
+    # latch the small-decrease convergence test
+    assert 1 <= int(n_acc) <= 5
+    assert float(conv) == 0.0

@@ -230,6 +230,45 @@ class TestClosedLoop:
         assert int(state.num_factors) <= 8
         assert any(bool(i.at_capacity) for i in infos)
 
+    def test_rejected_match_still_commits_dead_reckoned_keyframes(self):
+        # The keyframe gate must run on the EFFECTIVE delta: when the ICP
+        # match is rejected (here: scans with zero valid returns, so the
+        # matcher can never converge), motion over the distance threshold
+        # must still commit keyframes from raw odometry — otherwise scan
+        # overlap with the last keyframe only shrinks and the map freezes
+        # (pipeline.py keyframe-decision comment). The chain factor must
+        # then carry the MOTION-MODEL covariance, not the match Hessian.
+        from graphslam_tpu.frontend.keyframes import motion_covariance
+        from graphslam_tpu.slam.pipeline import _sqrt_info_from_cov
+
+        fcfg = FrontendConfig(num_beams=181, max_points=192, icp_iterations=8)
+        cfg = SLAMConfig(
+            max_keyframes=64, max_factors=256, frontend=fcfg,
+            solver=SolverConfig(mode="pcg", cg_max_iterations=10),
+        )
+        # Every beam beyond max_range -> scan_to_points masks out all points
+        # -> matched_frac == 0 -> odo_ok is False on every step.
+        scans = np.full((8, fcfg.num_beams), fcfg.max_range + 5.0, np.float32)
+        # 0.6 m per step exceeds keyframe_trans_threshold (0.5 m).
+        step_delta = np.array([0.6, 0.0, 0.0], np.float32)
+        odom = np.tile(step_delta, (7, 1))
+
+        state, infos = run_slam(scans, odom, cfg)
+        n_kf = int(state.num_kf)
+        # first frame + one dead-reckoned keyframe per subsequent step
+        assert n_kf == 8, n_kf
+        assert all(bool(i.is_keyframe) for i in infos)
+        # the committed factor is the raw odometry delta...
+        for k in range(n_kf - 1):
+            assert bool(state.chain_mask[k])
+            assert np.allclose(state.chain_meas[k], step_delta, atol=1e-6)
+        # ...with the motion-model covariance (match covariance path is
+        # gated off when the match was rejected)
+        expect_si = np.asarray(_sqrt_info_from_cov(
+            motion_covariance(jnp.asarray(step_delta), fcfg)
+        ))
+        assert np.allclose(state.chain_sqrt_info[0], expect_si, atol=1e-5)
+
     def test_first_frame_creates_keyframe(self):
         cfg = small_cfg()
         sim = simulate_trajectory(cfg.frontend, step_len=0.35, seed=3)
