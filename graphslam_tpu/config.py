@@ -173,6 +173,23 @@ class SLAMConfig:
     # compilation.
     solve_bucket_min: int = 128
 
+    # Per-keyframe covariance recovery — the Keyframe.msg pose_opti
+    # covariance contract (/root/reference/src/common/msg/Keyframe.msg:4,
+    # Pose2DWithCovariance.msg:2) and the Marginals::marginalCovariance the
+    # reference sketched but never ran (graph.cpp:120,126-127). Every
+    # cov_every-th accepted keyframe (after its periodic solve), recover the
+    # marginal covariance of EVERY live pose via the block-tridiagonal
+    # selected inverse + Woodbury loop correction
+    # (solver/marginals.py::marginal_covariances_all) into SLAMState.kf_covs.
+    # 0 disables. The Woodbury capacitance is dense over the live loop
+    # closures, so recovery runs only while num_loops <= cov_loop_window
+    # (a static compile-time width); beyond it, covariances keep their last
+    # refreshed values. Window 64 costs ~6% of frontend fps at cov_every=8
+    # (measured; 256 cost 29% — the (3W, 3W) Cholesky dominates); raise it
+    # for loop-dense missions.
+    cov_every: int = 8
+    cov_loop_window: int = 64
+
     # Scan-to-map matching: the odometry match's target is the union of the
     # last K keyframes' points expressed in the last keyframe's (optimized)
     # frame. 1 = plain scan-to-keyframe (the reference's behavior,

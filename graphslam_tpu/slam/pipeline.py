@@ -52,7 +52,12 @@ class StepInfo(NamedTuple):
     at_capacity: jnp.ndarray
 
 
-def graph_view(state: SLAMState, cfg: SLAMConfig, size: Optional[int] = None) -> FactorGraph:
+def graph_view(
+    state: SLAMState,
+    cfg: SLAMConfig,
+    size: Optional[int] = None,
+    loop_size: Optional[int] = None,
+) -> FactorGraph:
     """A FactorGraph view over the first `size` pose slots (static; default =
     full capacity).
 
@@ -62,6 +67,11 @@ def graph_view(state: SLAMState, cfg: SLAMConfig, size: Optional[int] = None) ->
     identity priors anchored at their current values — zero residual, but
     keeps the masked normal equations nonsingular so one solver compilation
     serves every map size within the bucket.
+
+    loop_size restricts the view to the first `loop_size` loop slots (static)
+    — used by the covariance recovery, whose Woodbury capacitance is dense
+    over the loop window. Loop slots fill contiguously, so the view is exact
+    while num_loops <= loop_size.
     """
     K = state.kf_poses.shape[0] if size is None else size
     dtype = state.kf_poses.dtype
@@ -75,15 +85,23 @@ def graph_view(state: SLAMState, cfg: SLAMConfig, size: Optional[int] = None) ->
 
     c = K - 1
     chain_edges = jnp.stack([jnp.arange(c), jnp.arange(1, K)], axis=1).astype(jnp.int32)
-    F = state.loop_edges.shape[0]
+    F = state.loop_edges.shape[0] if loop_size is None else loop_size
+    # Clip endpoints into the pose window: slots beyond num_loops are masked
+    # (zero residual/Jacobian), but out-of-window indices would read/write
+    # out of bounds in the gather/scatter paths.
+    loop_edges = jnp.minimum(state.loop_edges[:F], K - 1)
     return FactorGraph(
         chain_prefix=c,
-        edges=jnp.concatenate([chain_edges, state.loop_edges], axis=0),
-        measurements=jnp.concatenate([state.chain_meas[:c], state.loop_meas], axis=0),
-        sqrt_info=jnp.concatenate(
-            [state.chain_sqrt_info[:c], state.loop_sqrt_info], axis=0
+        edges=jnp.concatenate([chain_edges, loop_edges], axis=0),
+        measurements=jnp.concatenate(
+            [state.chain_meas[:c], state.loop_meas[:F]], axis=0
         ),
-        edge_mask=jnp.concatenate([state.chain_mask[:c], state.loop_mask], axis=0),
+        sqrt_info=jnp.concatenate(
+            [state.chain_sqrt_info[:c], state.loop_sqrt_info[:F]], axis=0
+        ),
+        edge_mask=jnp.concatenate(
+            [state.chain_mask[:c], state.loop_mask[:F]], axis=0
+        ),
         is_loop=jnp.concatenate(
             [jnp.zeros((c,), bool), jnp.ones((F,), bool)], axis=0
         ),
@@ -290,6 +308,23 @@ def make_slam_step(cfg: SLAMConfig):
         add_odo = is_kf & ~first
         cov = _factor_covariance(res_odo, delta, fcfg, odo_ok)
         si = _sqrt_info_from_cov(cov)
+
+        # Dead-reckoning-grade covariance for the fresh keyframe until the
+        # next marginal refresh: transport the parent marginal through the
+        # factor delta and add the factor noise (first keyframe gets the
+        # prior covariance, graph.cpp:38-42).
+        Ad = se2.adjoint(se2.inverse(delta))
+        prop_cov = Ad @ state.kf_covs[last_idx] @ Ad.T + cov
+        prior_cov = jnp.diag(
+            jnp.asarray(
+                [cfg.prior_sigma_xy**2, cfg.prior_sigma_xy**2,
+                 cfg.prior_sigma_theta**2], pts.dtype,
+            )
+        )
+        new_cov = jnp.where(first, prior_cov, prop_cov)
+        kf_covs = state.kf_covs.at[ki].set(
+            jnp.where(is_kf, new_cov, state.kf_covs[ki])
+        )
         chain_meas = state.chain_meas.at[last_idx].set(
             jnp.where(add_odo, delta, state.chain_meas[last_idx])
         )
@@ -327,6 +362,7 @@ def make_slam_step(cfg: SLAMConfig):
             kf_poses=kf_poses,
             kf_points=kf_points,
             kf_masks=kf_masks,
+            kf_covs=kf_covs,
             num_kf=num_kf,
             chain_meas=chain_meas,
             chain_sqrt_info=chain_sqrt_info,
@@ -347,6 +383,8 @@ def make_slam_step(cfg: SLAMConfig):
         K = state.kf_poses.shape[0]
         buckets = _solve_buckets(K, cfg.solve_bucket_min)
 
+        Fc = min(cfg.cov_loop_window, state.loop_edges.shape[0])
+
         def make_branch(B: int):
             mode = _solve_mode(scfg, B)
 
@@ -355,7 +393,28 @@ def make_slam_step(cfg: SLAMConfig):
                 poses = _gn_loop(
                     s.kf_poses[:B], graph, scfg, mode, cfg.solve_iterations
                 )
-                return s.replace(kf_poses=s.kf_poses.at[:B].set(poses))
+                s = s.replace(kf_poses=s.kf_poses.at[:B].set(poses))
+                if cfg.cov_every:
+                    # Per-keyframe marginal covariances — the pose_opti
+                    # covariance contract (Keyframe.msg:4) the reference
+                    # sketched in its commented Marginals calls
+                    # (graph.cpp:120,126-127). Selected inverse + Woodbury
+                    # over the live loop window; skipped (stale values kept)
+                    # once num_loops outgrows the static window.
+                    from graphslam_tpu.solver.marginals import (
+                        marginal_covariances_all,
+                    )
+
+                    def with_cov(s: SLAMState) -> SLAMState:
+                        gcov = graph_view(s, cfg, B, loop_size=Fc)
+                        covs = marginal_covariances_all(s.kf_poses[:B], gcov)
+                        return s.replace(kf_covs=s.kf_covs.at[:B].set(covs))
+
+                    do_cov = (num_kf % cfg.cov_every == 0) & (
+                        s.num_loops <= Fc
+                    )
+                    s = jax.lax.cond(do_cov, with_cov, lambda s: s, s)
+                return s
 
             return branch
 
@@ -403,6 +462,9 @@ def state_to_dataset(state: SLAMState) -> dict:
     return {
         "dim": 2,
         "poses": np.asarray(state.kf_poses[:n]),
+        # pose_opti covariances (Pose2DWithCovariance.msg:2's float64[9],
+        # here (n, 3, 3)) — live when cfg.cov_every > 0.
+        "covariances": np.asarray(state.kf_covs[:n]),
         "edges": edges,
         "measurements": meas,
         "information": info,

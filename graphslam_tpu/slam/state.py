@@ -29,6 +29,11 @@ class SLAMState:
     kf_poses: jnp.ndarray   # (K, 3) optimized SE(2) poses
     kf_points: jnp.ndarray  # (K, P, 2) projected scan points (sensor frame)
     kf_masks: jnp.ndarray   # (K, P) point validity
+    # Marginal covariance of each optimized pose — the Keyframe.msg
+    # pose_opti covariance field (Pose2DWithCovariance.msg:2), refreshed by
+    # the pipeline every cfg.cov_every-th keyframe solve
+    # (solver/marginals.py::marginal_covariances_all).
+    kf_covs: jnp.ndarray    # (K, 3, 3)
     num_kf: jnp.ndarray     # () int32
 
     # Odometry (chain) factors: slot k couples keyframes (k, k+1); slot K-1
@@ -67,6 +72,7 @@ def init_state(cfg: SLAMConfig, dtype=jnp.float32) -> SLAMState:
         kf_poses=jnp.zeros((K, 3), dtype),
         kf_points=jnp.zeros((K, P, 2), dtype),
         kf_masks=jnp.zeros((K, P), bool),
+        kf_covs=jnp.zeros((K, 3, 3), dtype),
         num_kf=jnp.int32(0),
         chain_meas=jnp.zeros((K, 3), dtype),
         chain_sqrt_info=jnp.zeros((K, 3, 3), dtype),

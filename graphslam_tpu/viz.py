@@ -19,12 +19,18 @@ def plot_trajectory(
     gt=None,
     edges=None,
     is_loop=None,
+    covariances=None,
     path: Optional[str] = None,
     title: str = "trajectory",
     arrow_every: int = 20,
+    ellipse_every: int = 10,
+    ellipse_sigma: float = 2.0,
 ):
     """Plot an SE(2) (N,3) or SE(3) (N,12) trajectory; optionally overlay
-    ground truth and graph edges (loop closures in red)."""
+    ground truth, graph edges (loop closures in red), and per-pose
+    uncertainty ellipses from (N, 3, 3) marginal covariances (the
+    Pose2DWithCovariance contract drawn the way rviz renders covariance
+    markers — `ellipse_sigma`-sigma contours of the xy block)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -54,6 +60,22 @@ def plot_trajectory(
         gxy = gt[:, 9:11] if gt.shape[-1] == 12 else gt[:, :2]
         ax.plot(gxy[:, 0], gxy[:, 1], "g--", lw=0.8, label="ground truth", zorder=2)
     ax.plot(xy[:, 0], xy[:, 1], "b-", lw=1.0, label="estimate", zorder=3)
+    if covariances is not None:
+        from matplotlib.patches import Ellipse
+
+        covs = np.asarray(covariances)
+        for k in range(0, len(covs), max(ellipse_every, 1)):
+            C = covs[k][:2, :2]
+            if not np.all(np.isfinite(C)):
+                continue
+            w, V = np.linalg.eigh(0.5 * (C + C.T))
+            w = np.maximum(w, 0.0)
+            ang = np.degrees(np.arctan2(V[1, 1], V[0, 1]))
+            ax.add_patch(Ellipse(
+                xy[k], width=2 * ellipse_sigma * np.sqrt(w[1]),
+                height=2 * ellipse_sigma * np.sqrt(w[0]), angle=ang,
+                facecolor="none", edgecolor="orange", lw=0.7, zorder=4,
+            ))
     # Heading arrows (the rviz ARROW markers).
     if poses.shape[-1] == 3:
         sub = poses[::arrow_every]

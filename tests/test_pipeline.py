@@ -230,6 +230,66 @@ class TestClosedLoop:
         assert int(state.num_factors) <= 8
         assert any(bool(i.at_capacity) for i in infos)
 
+    def test_online_keyframe_covariances_match_dense_marginals(self):
+        # The Keyframe.msg pose_opti covariance contract, live: after each
+        # periodic solve the pipeline refreshes SLAMState.kf_covs via the
+        # selected-inverse + Woodbury path; the values must match the dense
+        # marginal covariance of the same graph view (graph.cpp:120,126-127
+        # — the Marginals calls the reference sketched but never ran).
+        from graphslam_tpu.slam.pipeline import (
+            _solve_buckets, graph_view, state_to_dataset,
+        )
+        from graphslam_tpu.solver.marginals import marginal_covariances_dense
+
+        fcfg = FrontendConfig(num_beams=181, max_points=192, icp_iterations=12)
+        cfg = SLAMConfig(
+            max_keyframes=64, max_factors=256, frontend=fcfg,
+            solver=SolverConfig(mode="pcg", cg_max_iterations=25),
+            cov_every=1,
+        )
+        sim = simulate_trajectory(cfg.frontend, step_len=0.4, seed=3)
+        state, infos = run_slam(sim["scans"][:60], sim["odom_deltas"][:59], cfg)
+        n = int(state.num_kf)
+        assert n >= 5
+        # last solve + refresh ran over this bucket
+        buckets = _solve_buckets(64, cfg.solve_bucket_min)
+        B = next(b for b in buckets if b >= n)
+        Fc = min(cfg.cov_loop_window, 256)
+        dense = marginal_covariances_dense(
+            state.kf_poses[:B], graph_view(state, cfg, B, loop_size=Fc)
+        )
+        got = np.asarray(state.kf_covs[:n])
+        np.testing.assert_allclose(got, np.asarray(dense[:n]),
+                                   rtol=5e-2, atol=5e-5)
+        # covariances are SPD and grow along the chain before loop closures
+        eig = np.linalg.eigvalsh(0.5 * (got + np.swapaxes(got, -1, -2)))
+        assert (eig > -1e-7).all()
+        # exported dataset carries them (the Pose2DWithCovariance field)
+        data = state_to_dataset(state)
+        assert data["covariances"].shape == (n, 3, 3)
+        np.testing.assert_allclose(data["covariances"], got)
+
+    def test_keyframe_covs_transported_between_refreshes(self):
+        # With periodic recovery disabled, fresh keyframes still carry a
+        # dead-reckoning-grade covariance: parent marginal transported
+        # through the factor delta plus the factor noise.
+        fcfg = FrontendConfig(num_beams=181, max_points=192, icp_iterations=8)
+        cfg = SLAMConfig(
+            max_keyframes=64, max_factors=256, frontend=fcfg,
+            solver=SolverConfig(mode="pcg", cg_max_iterations=10),
+            cov_every=0,
+        )
+        scans = np.full((6, fcfg.num_beams), fcfg.max_range + 5.0, np.float32)
+        odom = np.tile(np.array([0.6, 0.0, 0.0], np.float32), (5, 1))
+        state, _ = run_slam(scans, odom, cfg)
+        n = int(state.num_kf)
+        assert n == 6
+        covs = np.asarray(state.kf_covs[:n])
+        # keyframe 0 = prior covariance; uncertainty grows monotonically
+        assert np.allclose(covs[0], np.diag([0.01, 0.01, 0.01]), atol=1e-6)
+        tr = np.trace(covs, axis1=-2, axis2=-1)
+        assert (np.diff(tr) > 0).all(), tr
+
     def test_rejected_match_still_commits_dead_reckoned_keyframes(self):
         # The keyframe gate must run on the EFFECTIVE delta: when the ICP
         # match is rejected (here: scans with zero valid returns, so the
