@@ -62,7 +62,14 @@ def integrate_twist(
     # a homomorphism, so interval transports compose exactly — see
     # query_interval).
     Ad_inv = se2.adjoint(se2.inverse(delta))
-    grown = Ad_inv @ buf.cov @ Ad_inv.T + motion_covariance(delta, cfg)
+    # f32-exact products: TPU matmuls default to bf16 MXU precision, which
+    # can leave the transported covariance indefinite (CLAUDE.md).
+    hi = jnp.einsum(
+        "ij,jk->ik", Ad_inv, buf.cov, precision="highest"
+    )
+    grown = jnp.einsum(
+        "ij,kj->ik", hi, Ad_inv, precision="highest"
+    ) + motion_covariance(delta, cfg)
     depth = buf.times.shape[0]
     h = buf.head % depth
     return buf.replace(
@@ -102,7 +109,8 @@ def query_interval(
     b, Cb = _entry_at(buf, t_end)
     delta = se2.between(a, b)
     Ad_inv = se2.adjoint(se2.inverse(delta))
-    Q = Cb - Ad_inv @ Ca @ Ad_inv.T
+    hi = jnp.einsum("ij,jk->ik", Ad_inv, Ca, precision="highest")
+    Q = Cb - jnp.einsum("ij,kj->ik", hi, Ad_inv, precision="highest")
     Q = 0.5 * (Q + Q.T)
     # PSD floor: rounding (or a query straddling the ring-buffer overwrite
     # horizon) can leave a slightly indefinite difference.

@@ -123,8 +123,22 @@ def _solve_buckets(capacity: int, min_bucket: int):
     return sizes
 
 
+def _m33(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """3x3 product at f32 precision. TPU matmuls default to bf16 MXU
+    precision (CLAUDE.md) — covariance transports need the exact product or
+    the Cholesky downstream can see an indefinite matrix."""
+    return jnp.einsum("ij,jk->ik", a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def _sqrt_info_from_cov(cov: jnp.ndarray) -> jnp.ndarray:
     """Upper sqrt-information from a covariance: info = cov^-1 = U^T U."""
+    # Symmetrize + trace-scaled ridge: the covariance arrives through
+    # adjoint transports and matmul roundoff; an indefinite input would NaN
+    # the Cholesky and silently poison the whole graph downstream.
+    cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
+    tr = jnp.trace(cov, axis1=-2, axis2=-1)
+    eye = jnp.eye(cov.shape[-1], dtype=cov.dtype)
+    cov = cov + (1e-6 * jnp.abs(tr) + 1e-9)[..., None, None] * eye
     L = jnp.linalg.cholesky(cov)
     eye = jnp.eye(cov.shape[-1], dtype=cov.dtype)
     Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
@@ -133,7 +147,7 @@ def _sqrt_info_from_cov(cov: jnp.ndarray) -> jnp.ndarray:
     return Linv
 
 
-def _factor_covariance(res: MatchResult, delta, fcfg, use_match):
+def _factor_covariance(res: MatchResult, delta, fcfg, use_match, mc=None):
     """Measurement covariance for a committed factor.
 
     When the match is trusted, use the GICP IRLS Hessian — the Fisher
@@ -144,8 +158,13 @@ def _factor_covariance(res: MatchResult, delta, fcfg, use_match):
     instead of the reference's binary accept/reject (fixes scanner.hpp:64-80
     which modeled only motion magnitude). Falls back to the pure motion
     model when the match was rejected.
+
+    `mc` overrides the motion-model covariance — the pipeline passes the
+    adjoint-transported interval covariance accumulated since the last
+    keyframe (the OdometryBuffer.srv contract, odometry.cpp:84-116).
     """
-    mc = motion_covariance(delta, fcfg)
+    if mc is None:
+        mc = motion_covariance(delta, fcfg)
     if not fcfg.use_match_covariance:
         return mc
     s = jnp.maximum(res.mahal_rmse**2 / 2.0, 1.0)
@@ -164,7 +183,12 @@ def make_slam_step(cfg: SLAMConfig):
     scfg = cfg.solver
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: SLAMState, ranges: jnp.ndarray, odom_delta: jnp.ndarray):
+    def step(
+        state: SLAMState,
+        ranges: jnp.ndarray,
+        odom_delta: jnp.ndarray,
+        odom_cov: Optional[jnp.ndarray] = None,
+    ):
         pts, mask = scan_to_points(
             ranges, angles, fcfg.min_range, fcfg.max_range, fcfg.max_points
         )
@@ -175,8 +199,19 @@ def make_slam_step(cfg: SLAMConfig):
         last_mask = state.kf_masks[last_idx]
 
         # Odometry accumulated since the last keyframe — the ICP prior and
-        # the fallback factor measurement.
+        # the fallback factor measurement — with its covariance transported
+        # by the interval adjoint (the same recursion as
+        # odometry.py::integrate_twist, so the committed factor noise equals
+        # query_interval's Q between the keyframe stamps exactly).
+        # odom_cov (optional per-step input) carries this tick's odometry
+        # noise from the twist-integration path; without it the per-tick
+        # motion model applies.
         odom_acc = se2.compose(state.odom_accum, odom_delta)
+        q_step = motion_covariance(odom_delta, fcfg)
+        if odom_cov is not None:
+            q_step = jnp.where(jnp.any(odom_cov != 0), odom_cov, q_step)
+        Ad_od = se2.adjoint(se2.inverse(odom_delta))
+        cov_acc = _m33(_m33(Ad_od, state.odom_cov_accum), Ad_od.T) + q_step
 
         # --- loop candidate (graph.cpp:146-178's O(n) scan as one argmin) ---
         pose_guess = se2.compose(last_pose, odom_acc)
@@ -305,8 +340,11 @@ def make_slam_step(cfg: SLAMConfig):
         num_kf = state.num_kf + jnp.where(is_kf, 1, 0).astype(jnp.int32)
 
         # --- odometry factor -> chain slot last_idx (couples last_idx, ki) --
+        # The motion-model part is the transported interval covariance
+        # accumulated since the last keyframe (cov_acc) — the online
+        # equivalent of query_interval(last_kf_stamp, now).
         add_odo = is_kf & ~first
-        cov = _factor_covariance(res_odo, delta, fcfg, odo_ok)
+        cov = _factor_covariance(res_odo, delta, fcfg, odo_ok, mc=cov_acc)
         si = _sqrt_info_from_cov(cov)
 
         # Dead-reckoning-grade covariance for the fresh keyframe until the
@@ -314,7 +352,7 @@ def make_slam_step(cfg: SLAMConfig):
         # factor delta and add the factor noise (first keyframe gets the
         # prior covariance, graph.cpp:38-42).
         Ad = se2.adjoint(se2.inverse(delta))
-        prop_cov = Ad @ state.kf_covs[last_idx] @ Ad.T + cov
+        prop_cov = _m33(_m33(Ad, state.kf_covs[last_idx]), Ad.T) + cov
         prior_cov = jnp.diag(
             jnp.asarray(
                 [cfg.prior_sigma_xy**2, cfg.prior_sigma_xy**2,
@@ -373,6 +411,9 @@ def make_slam_step(cfg: SLAMConfig):
             loop_mask=loop_mask,
             num_loops=num_loops,
             odom_accum=jnp.where(is_kf, jnp.zeros(3, pts.dtype), odom_acc),
+            odom_cov_accum=jnp.where(
+                is_kf, jnp.zeros((3, 3), pts.dtype), cov_acc
+            ),
         )
 
         # --- periodic solve (the graph.cpp:195 solve, enabled) --------------
@@ -482,13 +523,22 @@ def make_slam_replay(cfg: SLAMConfig, num_steps: int):
     # Reuse the step's traced logic inside a scan; donate the state.
 
     @partial(jax.jit, donate_argnums=(0,))
-    def replay(state: SLAMState, scans: jnp.ndarray, odom: jnp.ndarray):
+    def replay(
+        state: SLAMState,
+        scans: jnp.ndarray,
+        odom: jnp.ndarray,
+        odom_covs: Optional[jnp.ndarray] = None,
+    ):
         def body(s, inp):
-            ranges, od = inp
-            s, info = step.__wrapped__(s, ranges, od)
+            ranges, od, oc = inp
+            s, info = step.__wrapped__(s, ranges, od, oc)
             return s, info
 
-        return jax.lax.scan(body, state, (scans, odom), length=num_steps)
+        if odom_covs is None:
+            odom_covs = jnp.zeros((num_steps, 3, 3), scans.dtype)
+        return jax.lax.scan(
+            body, state, (scans, odom, odom_covs), length=num_steps
+        )
 
     return replay
 
@@ -511,23 +561,61 @@ def run_slam_from_twists(
     dt: float,
     cfg: SLAMConfig,
 ):
-    """Replay driver fed by body twists (the /cmd_vel path): integrates each
-    twist through the odometry motion model (slam/odometry.py — the dead
-    odometry node's intended role, SURVEY.md §3.4) and feeds the resulting
-    deltas to the SLAM step."""
-    from graphslam_tpu.slam.odometry import init_buffer, integrate_twist
+    """Replay driver fed by body twists (the /cmd_vel path) — ONE device
+    dispatch for the whole run.
 
-    buf = init_buffer()
-    deltas = []
-    prev = buf.pose
-    for t in range(1, scans.shape[0]):
-        buf = integrate_twist(
-            buf, jnp.asarray(twists[t - 1]), jnp.float32(dt), jnp.float32(t * dt),
-            cfg.frontend,
+    Inside a single jit: a lax.scan over `integrate_twist` builds the
+    odometry ring buffer (the dead odometry node's intended 100 Hz loop,
+    odometry.cpp:139-206), `query_interval` (the OdometryBuffer.srv rebuild,
+    odometry.cpp:84-116) is vmapped over consecutive scan stamps for the
+    per-tick deltas AND transported covariances, and the SLAM replay
+    consumes both — the step accumulates them with the interval adjoint, so
+    the factor noise at each keyframe commit equals
+    query_interval(last_kf_stamp, kf_stamp) exactly (the adjoint transport
+    is a homomorphism; see tests/test_pipeline.py).
+
+    Returns (final_state, stacked StepInfos).
+    """
+    from graphslam_tpu.slam.odometry import (
+        init_buffer, integrate_twist, query_interval,
+    )
+
+    T = int(scans.shape[0])
+    step = make_slam_step(cfg)
+    fdt = float(dt)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def full(state: SLAMState, scans_d: jnp.ndarray, twists_d: jnp.ndarray):
+        dtype = state.kf_poses.dtype
+        # seed the buffer with the t=0 entry (origin, zero covariance)
+        buf0 = init_buffer(depth=T, dtype=dtype)
+        buf0 = buf0.replace(
+            times=buf0.times.at[0].set(0.0),
+            valid=buf0.valid.at[0].set(True),
+            head=jnp.int32(1),
         )
-        deltas.append(np.asarray(se2.between(prev, buf.pose)))
-        prev = buf.pose
-    return run_slam(scans, np.asarray(deltas), cfg)
+        times = jnp.arange(1, T, dtype=dtype) * fdt
+
+        def ibody(buf, inp):
+            tw, t = inp
+            return integrate_twist(buf, tw, fdt, t, cfg.frontend), None
+
+        buf, _ = jax.lax.scan(ibody, buf0, (twists_d[: T - 1], times))
+
+        t_prev = jnp.arange(0, T - 1, dtype=dtype) * fdt
+        deltas, Qs = jax.vmap(
+            lambda a, b: query_interval(buf, a, b, cfg.frontend)
+        )(t_prev, t_prev + fdt)
+        odom = jnp.concatenate([jnp.zeros((1, 3), dtype), deltas], axis=0)
+        covs = jnp.concatenate([jnp.zeros((1, 3, 3), dtype), Qs], axis=0)
+
+        def body(s, inp):
+            ranges, od, oc = inp
+            return step.__wrapped__(s, ranges, od, oc)
+
+        return jax.lax.scan(body, state, (scans_d, odom, covs), length=T)
+
+    return full(init_state(cfg), jnp.asarray(scans), jnp.asarray(twists))
 
 
 def run_slam(

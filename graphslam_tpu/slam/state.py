@@ -54,8 +54,12 @@ class SLAMState:
 
     # Accumulated odometry since the last committed keyframe (the in-state
     # replacement for the odometry node's time-interval buffer queries,
-    # odometry.cpp:84-116).
-    odom_accum: jnp.ndarray  # (3,)
+    # odometry.cpp:84-116), plus its adjoint-transported covariance: the
+    # same recursion as slam/odometry.py::integrate_twist, so the factor
+    # noise at keyframe commit equals query_interval's transported Q between
+    # the keyframe stamps exactly (the adjoint is a homomorphism).
+    odom_accum: jnp.ndarray      # (3,)
+    odom_cov_accum: jnp.ndarray  # (3, 3)
 
     @property
     def num_factors(self) -> jnp.ndarray:
@@ -84,4 +88,5 @@ def init_state(cfg: SLAMConfig, dtype=jnp.float32) -> SLAMState:
         num_loops=jnp.int32(0),
         anchor=jnp.zeros((3,), dtype),
         odom_accum=jnp.zeros((3,), dtype),
+        odom_cov_accum=jnp.zeros((3, 3), dtype),
     )

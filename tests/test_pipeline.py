@@ -217,6 +217,59 @@ class TestClosedLoop:
         state, infos = run_slam_from_twists(np.asarray(scans), twists, dt, cfg)
         assert int(state.num_kf) >= 3
         assert int(state.num_factors) >= int(state.num_kf) - 1
+        # single-dispatch path returns stacked infos covering every step
+        assert int(np.asarray(infos.is_keyframe).shape[0]) == len(scans)
+
+    def test_twist_factor_covariance_comes_from_odometry_buffer(self):
+        # With scans that can never match (no valid returns), the committed
+        # chain factors fall back to odometry; their covariance must be the
+        # TRANSPORTED interval covariance between the keyframe stamps —
+        # exactly what query_interval (the OdometryBuffer.srv rebuild,
+        # odometry.cpp:84-116) returns on the same buffer.
+        from graphslam_tpu.slam.odometry import (
+            init_buffer, integrate_twist, query_interval,
+        )
+        from graphslam_tpu.slam.pipeline import run_slam_from_twists
+
+        fcfg = FrontendConfig(num_beams=181, max_points=192, icp_iterations=8)
+        cfg = SLAMConfig(
+            max_keyframes=64, max_factors=256, frontend=fcfg,
+            solver=SolverConfig(mode="pcg", cg_max_iterations=10),
+        )
+        dt = 0.2
+        T = 12
+        # rotation in the twist makes the adjoint transport non-trivial
+        twists = np.tile(np.array([1.0, 0.0, 0.5], np.float32), (T - 1, 1))
+        scans = np.full((T, fcfg.num_beams), fcfg.max_range + 5.0, np.float32)
+        state, infos = run_slam_from_twists(scans, twists, dt, cfg)
+        kf_steps = np.flatnonzero(np.asarray(infos.is_keyframe))
+        assert len(kf_steps) >= 3, kf_steps
+
+        # independent buffer replay + interval queries between kf stamps
+        # (seed the t=0 entry exactly as run_slam_from_twists does)
+        buf = init_buffer(depth=T)
+        buf = buf.replace(
+            times=buf.times.at[0].set(0.0),
+            valid=buf.valid.at[0].set(True),
+            head=jnp.int32(1),
+        )
+        for k in range(1, T):
+            buf = integrate_twist(
+                buf, jnp.asarray(twists[k - 1]), jnp.float32(dt),
+                jnp.float32(k * dt), fcfg,
+            )
+        for f, (a, b) in enumerate(zip(kf_steps[:-1], kf_steps[1:])):
+            d_exp, Q_exp = query_interval(
+                buf, jnp.float32(a * dt), jnp.float32(b * dt), fcfg
+            )
+            si = np.asarray(state.chain_sqrt_info[f])
+            cov_got = np.linalg.inv(si.T @ si)
+            np.testing.assert_allclose(
+                np.asarray(state.chain_meas[f]), np.asarray(d_exp), atol=1e-4
+            )
+            np.testing.assert_allclose(
+                cov_got, np.asarray(Q_exp), rtol=2e-2, atol=1e-5
+            )
 
     def test_capacity_guard(self):
         fcfg = FrontendConfig(num_beams=181, max_points=192, icp_iterations=8)
