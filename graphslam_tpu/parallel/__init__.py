@@ -14,3 +14,7 @@ from graphslam_tpu.parallel.dist import (  # noqa: F401
     dist_gn_solve,
     dist_lm_solve,
 )
+from graphslam_tpu.parallel.dist_fused import (  # noqa: F401
+    dist_fused_gn_solve,
+    dist_fused_lm_solve,
+)

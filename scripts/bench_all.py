@@ -178,6 +178,96 @@ def bench_distributed(quick):
     return results
 
 
+def bench_dist_fused(quick):
+    """Distributed fused-math GN (parallel/dist_fused.py) at devices {1, n}."""
+    from graphslam_tpu import metrics
+    from graphslam_tpu.config import SolverConfig
+    from graphslam_tpu.factors import from_dataset
+    from graphslam_tpu.io import datasets
+    from graphslam_tpu.parallel import make_mesh
+    from graphslam_tpu.parallel.dist_fused import dist_fused_gn_solve
+
+    data = datasets.m3500() if not quick else datasets.manhattan(1000, seed=5)
+    graph = from_dataset(data)
+    poses0 = jnp.asarray(data["poses"])
+    gt = jnp.asarray(data["gt"])
+    cfg = SolverConfig(cg_max_iterations=25, pcr_levels=4,
+                       edge_tile=512, hvp_splits=1)
+    iters, chain = 50, 4
+    results = {}
+    n_dev = len(jax.devices())
+    for nd in sorted({1, n_dev}):
+        mesh = make_mesh(num_devices=nd)
+
+        @jax.jit
+        def solve_chain(p):
+            def body(p, _):
+                return dist_fused_gn_solve(
+                    p, graph, mesh, cfg, iterations=iters
+                ), None
+            return jax.lax.scan(body, p, None, length=chain)[0]
+
+        out = solve_chain(poses0)
+        ate = float(metrics.ate(out, gt))
+        dt = time_fn(solve_chain, poses0)
+        results[f"devices_{nd}"] = round(chain * iters / dt, 2)
+        results["ate_chained"] = round(ate, 4)
+        log(f"dist_fused GN {nd} devices: {chain*iters/dt:.1f} it/s "
+            f"(chained ATE {ate:.3f})")
+    if len(results) > 2:
+        eff = results[f"devices_{n_dev}"] / (results["devices_1"] * n_dev)
+        results["scaling_efficiency"] = round(eff, 3)
+    return results
+
+
+def bench_dist_schur(quick):
+    """Fully-sharded partitioned-Schur GN (BASELINE config 5) at {1, n}."""
+    from graphslam_tpu.factors import from_dataset, chi2
+    from graphslam_tpu import metrics
+    from graphslam_tpu.io import datasets
+    from graphslam_tpu.parallel import make_mesh
+    from graphslam_tpu.parallel.dist_schur import dist_schur_gn_solve
+    from graphslam_tpu.solver.schur import schur_plan
+
+    out = {}
+    n_dev = len(jax.devices())
+    # Note: partitioned Schur is the banded-graph solver (schur.py header);
+    # loop-dense m3500 has a large separator (Q~1.9k of 3.5k poses) — the
+    # row is reported with Q so the layout's (un)suitability is visible.
+    if quick:
+        cases = [("manhattan1k", lambda: datasets.manhattan(1000, seed=5), 8, 10)]
+    else:
+        cases = [("m3500", datasets.m3500, 8, 10),
+                 ("sphere2500", datasets.sphere2500, 8, 10)]
+    for name, ds, blocks, iters in cases:
+        data = ds()
+        graph = from_dataset(data)
+        poses0 = jnp.asarray(data["poses"])
+        gt = jnp.asarray(data["gt"])
+        plan = schur_plan(
+            np.asarray(graph.edges), poses0.shape[0], max(blocks, n_dev)
+        )
+        row = {"separator_poses": int(plan.Q)}
+        for nd in sorted({1, n_dev}):
+            mesh = make_mesh(num_devices=nd)
+            sol = dist_schur_gn_solve(
+                poses0, graph, plan, mesh, iterations=iters
+            )
+            ate = float(metrics.ate(sol, gt))
+            dt = time_fn(
+                dist_schur_gn_solve, poses0, graph, plan, mesh, iters
+            )
+            row[f"devices_{nd}"] = round(iters / dt, 2)
+            row["ate"] = round(ate, 4)
+            log(f"dist_schur {name} {nd} devices: {iters/dt:.1f} it/s "
+                f"ATE {ate:.3f} (Q={plan.Q})")
+        if len([k for k in row if k.startswith("devices_")]) > 1:
+            eff = row[f"devices_{n_dev}"] / (row["devices_1"] * n_dev)
+            row["scaling_efficiency"] = round(eff, 3)
+        out[name] = row
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -239,6 +329,10 @@ def main():
         out["frontend"] = bench_frontend(args.quick)
     if "dist" not in skip:
         out["distributed"] = bench_distributed(args.quick)
+    if "dist_fused" not in skip:
+        out["dist_fused"] = bench_dist_fused(args.quick)
+    if "dist_schur" not in skip:
+        out["dist_schur"] = bench_dist_schur(args.quick)
 
     print(json.dumps(out, indent=2))
 

@@ -79,6 +79,29 @@ def test_dist_schur_gn_converges_sphere():
     assert e1 < 0.1 * e0, (e0, e1)
 
 
+def test_dist_schur_gn_sharded_mesh_invariant():
+    # The fully-sharded GN scan (per-device linearize of owned edges only,
+    # VERDICT r3 #4) must produce the same trajectory on 1 and 8 devices.
+    from graphslam_tpu.factors import chi2
+    from graphslam_tpu.parallel import make_mesh
+    from graphslam_tpu.parallel.dist_schur import dist_schur_gn_solve
+
+    data = datasets.manhattan(n_poses=160, seed=26, loop_prob=0.25)
+    graph = from_dataset(data)
+    poses0 = jnp.asarray(data["poses"])
+    plan = schur_plan(np.asarray(graph.edges), 160, 8)
+    out1 = np.asarray(dist_schur_gn_solve(
+        poses0, graph, plan, make_mesh(num_devices=1), iterations=5
+    ))
+    out8 = np.asarray(dist_schur_gn_solve(
+        poses0, graph, plan, make_mesh(num_devices=8), iterations=5
+    ))
+    assert np.allclose(out1, out8, atol=1e-4), np.abs(out1 - out8).max()
+    e0 = float(chi2(poses0, graph))
+    e1 = float(chi2(jnp.asarray(out8), graph))
+    assert e1 < 0.1 * e0, (e0, e1)
+
+
 def test_separator_is_small_for_banded_graph():
     # sphere rings: only boundary rings become separators.
     # 2 blocks of 5 rings: only the two rings at the cut are separators.
