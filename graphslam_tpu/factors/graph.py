@@ -45,6 +45,16 @@ class FactorGraph:
     # (solver/normal_eq.py); 0 disables the fast path.
     chain_prefix: int = struct.field(pytree_node=False, default=0)
 
+    # Page-windowed loop-edge bucketing (ops/bucketize.py): when
+    # page_window > 0, the loop edges are ordered so each edge_tile-wide
+    # tile's i-endpoints fall in ONE page_window-page window of the fused
+    # kernels' tall gather layout and its j-endpoints in another;
+    # tile_page0 (2, n_tiles) int32 holds the window start pages. The
+    # kernels then gather/scatter over 2*page_window pages instead of all
+    # Npad/128 — the dominant MXU cost on large loop-dense graphs.
+    tile_page0: jnp.ndarray | None = None
+    page_window: int = struct.field(pytree_node=False, default=0)
+
     @property
     def num_edges(self) -> int:
         return self.edges.shape[0]

@@ -51,10 +51,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from graphslam_tpu.ops.gn_kernel import (
+    _acc_win_add,
     _gather2,
     _hi_lo,
     _scatter2,
     _tile_qr,
+    _tile_qr_win,
+    _win_parts,
     _m3_T,
     _m3_mul,
     _m3_neg,
@@ -598,9 +601,10 @@ def _pg_to_planes(G):
 
 def _gn6_kernel(
     nt_ref, poses_ref, cz_ref, cW_ref, pz_ref, pW_ref, eidx_ref, eld_ref,
+    q0_ref,
     out_ref, stats_ref, Aij_ref, *,
     N: int, Npad: int, K: int, n_gn: int, cg_iters: int, n_tiles: int,
-    eps: float, huber_delta: float, tile: int, hvp_splits: int,
+    eps: float, huber_delta: float, tile: int, hvp_splits: int, win: int,
     lm: bool, lam0: float, lam_factor: float, lam_min: float, lam_max: float,
     abs_tol: float, rel_tol: float,
 ):
@@ -608,6 +612,28 @@ def _gn6_kernel(
     dtype = poses_ref.dtype
     Q = Npad // 128
     L = Npad // 8
+
+    def tile_sel(t, idx):
+        """Per-tile one-hot pieces + (page-windowed) gather-row count
+        (see gn_kernel.py / ops/bucketize.py)."""
+        if win:
+            q0i = q0_ref[0, t]
+            q0j = q0_ref[1, t]
+            ohr, qsel = _tile_qr_win(idx, q0i, q0j, win, tile, dtype)
+            return ohr, qsel, q0i, q0j, 2 * win
+        ohr, qsel = _tile_qr(idx, Q, dtype)
+        return ohr, qsel, None, None, Q
+
+    def tile_gather(p_parts, ohr, qsel, A, q0i, q0j, rows):
+        parts = (
+            _win_parts(p_parts, A, Q, win, q0i, q0j) if win else p_parts
+        )
+        return _gather2(parts, ohr, qsel, A, rows, dtype)
+
+    def tile_accumulate(acc, contrib, R, q0i, q0j):
+        if win:
+            return _acc_win_add(acc, contrib, R, Q, win, q0i, q0j)
+        return acc + contrib
     nidx = (
         jax.lax.broadcasted_iota(jnp.int32, (8, L), 0) * L
         + jax.lax.broadcasted_iota(jnp.int32, (8, L), 1)
@@ -642,14 +668,14 @@ def _gn6_kernel(
     def tile_edge_parts(poses_parts, t):
         """Gather endpoint poses + unpack tile measurement/info rows."""
         idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
-        ohr, qsel = _tile_qr(idx, Q, dtype)
-        pg = _gather2(poses_parts, ohr, qsel, 12, Q, dtype)  # (12, 2T)
+        ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
+        pg = tile_gather(poses_parts, ohr, qsel, 12, q0i, q0j, rows)
         xi_t = _pose_of(tuple(pg[a : a + 1, :tile] for a in range(12)))
         xj_t = _pose_of(tuple(pg[a : a + 1, tile:] for a in range(12)))
         sle = pl.ds(t * tile, tile)
         z_t = _pose_of(tuple(eld_ref[a : a + 1, sle] for a in range(12)))
         W_t = _rows_g6_off(eld_ref, sle)
-        return (ohr, qsel), xi_t, xj_t, z_t, W_t
+        return (ohr, qsel, q0i, q0j), xi_t, xj_t, z_t, W_t
 
     def chi2_of(poses):
         xi, xj, z, W = chain_parts(poses)
@@ -731,7 +757,9 @@ def _gn6_kernel(
                     + [jnp.concatenate([gi_t[a], gj_t[a]], axis=1) for a in range(6)],
                     axis=0,
                 )
-                return Dg + _scatter2(C, *oh, dtype)
+                return tile_accumulate(
+                    Dg, _scatter2(C, oh[0], oh[1], dtype), 42, oh[2], oh[3]
+                )
 
             Dg0 = jnp.zeros((42 * Q, 128), dtype)
             Dg = _p_untall(
@@ -768,8 +796,8 @@ def _gn6_kernel(
 
                 def tile_body(t, acc):
                     idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
-                    ohr, qsel = _tile_qr(idx, Q, dtype)
-                    vg = _gather2(v_parts, ohr, qsel, 6, Q, dtype)  # (6, 2T)
+                    ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
+                    vg = tile_gather(v_parts, ohr, qsel, 6, q0i, q0j, rows)
                     vi = tuple(vg[a : a + 1, :tile] for a in range(6))
                     vj = tuple(vg[a : a + 1, tile:] for a in range(6))
                     sle = pl.ds(t * tile, tile)
@@ -786,8 +814,11 @@ def _gn6_kernel(
                         [jnp.concatenate([yi[a], yj[a]], axis=1) for a in range(6)],
                         axis=0,
                     )
-                    return acc + _scatter2(
-                        ys, ohr, qsel, dtype, n_splits=hvp_splits
+                    return tile_accumulate(
+                        acc,
+                        _scatter2(ys, ohr, qsel, dtype,
+                                  n_splits=hvp_splits),
+                        6, q0i, q0j,
                     )
 
                 acc0 = jnp.zeros((6 * Q, 128), dtype)
@@ -1036,6 +1067,19 @@ def _fused_solve6(
     )
     Epad = eld.shape[1]
 
+    # page-windowed bucketing metadata (ops/bucketize.py, see gn_kernel.py)
+    win = graph.page_window
+    if win:
+        q0 = graph.tile_page0
+        if q0.shape[1] != n_tiles:
+            raise ValueError(
+                f"bucketized graph has {q0.shape[1]} tiles but edge_tile="
+                f"{tile} packs {n_tiles}; bucketize_loops(tile=...) must "
+                "match SolverConfig.edge_tile"
+            )
+    else:
+        q0 = jnp.zeros((2, 1), jnp.int32)
+
     E_loop = int(graph.edges.shape[0]) - c
     if E_loop > 0 and n_tiles > 0:
         idx_e = jnp.arange(E_loop, dtype=jnp.int32)
@@ -1050,11 +1094,13 @@ def _fused_solve6(
             _gn6_kernel, N=N, Npad=Npad, K=K, n_gn=iterations,
             cg_iters=cg_iters, n_tiles=n_tiles, eps=3e-4,
             huber_delta=huber_delta, tile=tile, hvp_splits=hvp_splits,
+            win=win,
             lm=lm, lam0=lam0, lam_factor=lam_factor, lam_min=lam_min,
             lam_max=lam_max, abs_tol=abs_tol, rel_tol=rel_tol,
         ),
         in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
-        + [vspec] * 7,
+        + [vspec] * 7
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(vspec, vspec),
         out_shape=(
             jax.ShapeDtypeStruct((96, Lp), dtype),
@@ -1065,7 +1111,7 @@ def _fused_solve6(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(nt, poses_pl, cz, cW, pz, pW, eidx, eld)
+    )(nt, poses_pl, cz, cW, pz, pW, eidx, eld, q0)
     return out.reshape(12, Npad)[:, :N].T, stats
 
 

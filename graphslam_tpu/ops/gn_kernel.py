@@ -498,6 +498,59 @@ def _scatter2(C, ohr, qsel, dtype, n_splits: int = 2):
     return _mxu(_hi_lo(S1, n_splits), ohr, dtype, _SCATTER_DIMS)
 
 
+# ---------------------------------------------------------------------------
+# Page-windowed tile machinery (ops/bucketize.py): when the loop edges are
+# bucket-ordered, a tile's i-endpoints all fall in pages [q0i, q0i+W) and
+# its j-endpoints in [q0j, q0j+W), so the gather/scatter matmuls contract
+# over 2W pages instead of all Q — the dominant MXU cost at city10000 scale
+# (Q=80, measured ~6x sweep reduction at W=8).
+# ---------------------------------------------------------------------------
+
+
+def _tile_qr_win(idx, q0i, q0j, W: int, tile: int, dtype):
+    """Windowed one-hot pieces: ohr (128, 2T) as in _tile_qr; qsel (2W, 2T)
+    where rows [0, W) select i-half pages relative to q0i and rows [W, 2W)
+    j-half pages relative to q0j (cross-half selections masked off, so
+    overlapping windows never double-count)."""
+    T2 = idx.shape[1]
+    sub_r = jax.lax.broadcasted_iota(jnp.int32, (128, T2), 0)
+    ohr = (sub_r == (idx & 127)).astype(jnp.bfloat16)
+    page = jax.lax.shift_right_logical(idx, 7)  # (1, 2T)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (2 * W, T2), 0)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (2 * W, T2), 1)
+    target = jnp.where(roww < W, q0i + roww, q0j + (roww - W))
+    half_ok = (roww < W) == (colw < tile)
+    qsel = ((target == page) & half_ok).astype(dtype)
+    return ohr, qsel
+
+
+def _win_parts(p_parts, A: int, Q: int, W: int, q0i, q0j):
+    """Windowed tall slices of hi/lo pieces: for each piece (A*Q, 128),
+    rows [a*Q+q0i, +W) then [a*Q+q0j, +W) per component a -> (A*2W, 128)."""
+    outs = []
+    for part in p_parts:
+        rows = []
+        for a in range(A):
+            rows.append(jax.lax.dynamic_slice(part, (a * Q + q0i, 0), (W, 128)))
+            rows.append(jax.lax.dynamic_slice(part, (a * Q + q0j, 0), (W, 128)))
+        outs.append(jnp.concatenate(rows, axis=0))
+    return outs
+
+
+def _acc_win_add(acc, contrib, R: int, Q: int, W: int, q0i, q0j):
+    """Add a windowed scatter contribution (R*2W, 128) into the full tall
+    accumulator (R*Q, 128) at the tile's window rows. Sequential
+    read-modify-write per half, so q0i == q0j (diagonal buckets) is exact."""
+    for rc in range(R):
+        for base, off in ((0, q0i), (W, q0j)):
+            rows = contrib[rc * 2 * W + base : rc * 2 * W + base + W]
+            cur = jax.lax.dynamic_slice(acc, (rc * Q + off, 0), (W, 128))
+            acc = jax.lax.dynamic_update_slice(
+                acc, cur + rows, (rc * Q + off, 0)
+            )
+    return acc
+
+
 def _residual_rows(xi, xj, z, R):
     """Whitened between residual rows (no Jacobians — the chi2 pass)."""
     h = _se2_between(*xi, *xj)
@@ -518,10 +571,11 @@ def _c9(ref):
 
 def _gn_kernel(
     nt_ref, poses_ref, cz_ref, cR_ref, pz_ref, pR_ref, eidx_ref, eld_ref,
+    q0_ref,
     out_ref, stats_ref, Aij_ref, *,
     N: int, Npad: int, K: int, n_gn: int, cg_iters: int, n_tiles: int,
     eps: float, huber_delta: float, tile: int, pcr_bf16: bool,
-    hvp_splits: int,
+    hvp_splits: int, win: int,
     lm: bool, lam0: float, lam_factor: float, lam_min: float, lam_max: float,
     abs_tol: float, rel_tol: float,
 ):
@@ -533,6 +587,27 @@ def _gn_kernel(
     dtype = poses_ref.dtype
     Q = Npad // 128
     L = Npad // 8
+
+    def tile_sel(t, idx):
+        """Per-tile one-hot pieces + (windowed) gather-row count."""
+        if win:
+            q0i = q0_ref[0, t]
+            q0j = q0_ref[1, t]
+            ohr, qsel = _tile_qr_win(idx, q0i, q0j, win, tile, dtype)
+            return ohr, qsel, q0i, q0j, 2 * win
+        ohr, qsel = _tile_qr(idx, Q, dtype)
+        return ohr, qsel, None, None, Q
+
+    def tile_gather(p_parts, ohr, qsel, A, q0i, q0j, rows):
+        parts = (
+            _win_parts(p_parts, A, Q, win, q0i, q0j) if win else p_parts
+        )
+        return _gather2(parts, ohr, qsel, A, rows, dtype)
+
+    def tile_accumulate(acc, contrib, R, q0i, q0j):
+        if win:
+            return _acc_win_add(acc, contrib, R, Q, win, q0i, q0j)
+        return acc + contrib
     nidx = (
         jax.lax.broadcasted_iota(jnp.int32, (8, L), 0) * L
         + jax.lax.broadcasted_iota(jnp.int32, (8, L), 1)
@@ -561,8 +636,8 @@ def _gn_kernel(
 
             def tile_body(t, acc):
                 idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
-                ohr, qsel = _tile_qr(idx, Q, dtype)
-                pg = _gather2(p_parts, ohr, qsel, 3, Q, dtype)
+                ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
+                pg = tile_gather(p_parts, ohr, qsel, 3, q0i, q0j, rows)
                 xi_t = tuple(pg[a : a + 1, :tile] for a in range(3))
                 xj_t = tuple(pg[a : a + 1, tile:] for a in range(3))
                 eld = eld_ref[:, pl.ds(t * tile, tile)]
@@ -623,8 +698,8 @@ def _gn_kernel(
             def tile_body(t, carry):
                 Dg = carry  # tall (12*Q, 128): rows 0-8 D entries, 9-11 g
                 idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
-                ohr, qsel = _tile_qr(idx, Q, dtype)
-                pg = _gather2(p_parts, ohr, qsel, 3, Q, dtype)  # (3, 2T)
+                ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
+                pg = tile_gather(p_parts, ohr, qsel, 3, q0i, q0j, rows)
                 xi_t = tuple(pg[a : a + 1, :tile] for a in range(3))
                 xj_t = tuple(pg[a : a + 1, tile:] for a in range(3))
                 eld = eld_ref[:, pl.ds(t * tile, tile)]
@@ -646,7 +721,9 @@ def _gn_kernel(
                     + [jnp.concatenate([gi_t[a], gj_t[a]], axis=1) for a in range(3)],
                     axis=0,
                 )
-                return Dg + _scatter2(C, ohr, qsel, dtype)
+                return tile_accumulate(
+                    Dg, _scatter2(C, ohr, qsel, dtype), 12, q0i, q0j
+                )
 
             Dg0 = jnp.zeros((12 * Q, 128), dtype)
             Dg = _p_untall(jax.lax.fori_loop(0, nt, tile_body, Dg0), 12, L)
@@ -682,8 +759,8 @@ def _gn_kernel(
 
                 def tile_body(t, acc):
                     idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
-                    ohr, qsel = _tile_qr(idx, Q, dtype)
-                    vg = _gather2(v_parts, ohr, qsel, 3, Q, dtype)  # (3, 2T)
+                    ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
+                    vg = tile_gather(v_parts, ohr, qsel, 3, q0i, q0j, rows)
                     vi = tuple(vg[a : a + 1, :tile] for a in range(3))
                     vj = tuple(vg[a : a + 1, tile:] for a in range(3))
                     A = tuple(
@@ -696,8 +773,10 @@ def _gn_kernel(
                         [jnp.concatenate([yi[a], yj[a]], axis=1) for a in range(3)],
                         axis=0,
                     )
-                    return acc + _scatter2(
-                        ys, ohr, qsel, dtype, n_splits=hvp_splits
+                    return tile_accumulate(
+                        acc,
+                        _scatter2(ys, ohr, qsel, dtype, n_splits=hvp_splits),
+                        3, q0i, q0j,
                     )
 
                 acc0 = jnp.zeros((3 * Q, 128), dtype)
@@ -918,8 +997,24 @@ def _fused_solve(
     )
     Epad = eld.shape[1]
 
+    # Page-windowed bucketing (ops/bucketize.py): the graph carries its
+    # window map; the bucketizer's tile width must match edge_tile.
+    win = graph.page_window
+    if win:
+        q0 = graph.tile_page0
+        if q0.shape[1] != n_tiles:
+            raise ValueError(
+                f"bucketized graph has {q0.shape[1]} tiles but edge_tile="
+                f"{tile} packs {n_tiles}; bucketize_loops(tile=...) must "
+                "match SolverConfig.edge_tile"
+            )
+    else:
+        q0 = jnp.zeros((2, 1), jnp.int32)
+
     # Live tile count: loop slots fill contiguously (masked tail), so tiles
     # past the last unmasked edge contribute nothing and are skipped.
+    # (Bucketized graphs interleave masked padding, but their last slot is
+    # always live, so every tile stays on — correct either way.)
     E_loop = int(graph.edges.shape[0]) - c
     if E_loop > 0 and n_tiles > 0:
         idx_e = jnp.arange(E_loop, dtype=jnp.int32)
@@ -934,12 +1029,13 @@ def _fused_solve(
             _gn_kernel, N=N, Npad=Npad, K=K, n_gn=iterations,
             cg_iters=cg_iters, n_tiles=n_tiles, eps=3e-4,
             huber_delta=huber_delta, tile=tile, pcr_bf16=pcr_bf16,
-            hvp_splits=hvp_splits,
+            hvp_splits=hvp_splits, win=win,
             lm=lm, lam0=lam0, lam_factor=lam_factor, lam_min=lam_min,
             lam_max=lam_max, abs_tol=abs_tol, rel_tol=rel_tol,
         ),
         in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
-        + [vspec] * 7,
+        + [vspec] * 7
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(vspec, vspec),
         out_shape=(
             jax.ShapeDtypeStruct((24, L), dtype),
@@ -950,7 +1046,7 @@ def _fused_solve(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(nt, poses_pl, cz, cR, pz, pR, eidx, eld)
+    )(nt, poses_pl, cz, cR, pz, pR, eidx, eld, q0)
     return out.reshape(3, Npad)[:, :N].T, stats
 
 

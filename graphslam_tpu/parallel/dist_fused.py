@@ -54,6 +54,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from graphslam_tpu.config import SolverConfig
 from graphslam_tpu.factors.graph import FactorGraph
 from graphslam_tpu.ops.gn_kernel import (
+    _acc_win_add,
     _c3,
     _c9,
     _gather2,
@@ -82,6 +83,8 @@ from graphslam_tpu.ops.gn_kernel import (
     _se2_jr_inv,
     _se2_log,
     _tile_qr,
+    _tile_qr_win,
+    _win_parts,
 )
 
 
@@ -166,17 +169,37 @@ def _embed(slab, start, L):
 def _make_body(
     *, N, Npad, K, D, iterations, cg_iters, tile, tiles_per_dev,
     huber_delta, hvp_splits, eps, lm, lam0, lam_factor, lam_min, lam_max,
-    axis,
+    axis, win,
 ):
     L = Npad // 8
     Q = Npad // 128
     Lc = L // D
 
-    def body(nt, poses_pl, cz, cR, pz, pR, eidx_l, eld_l):
+    def body(nt, poses_pl, cz, cR, pz, pR, eidx_l, eld_l, q0_l):
         dtype = poses_pl.dtype
         d = jax.lax.axis_index(axis)
         start = d * Lc
         nt_local = jnp.clip(nt[0, 0] - d * tiles_per_dev, 0, tiles_per_dev)
+
+        def tile_sel(t, idx):
+            if win:
+                q0i = q0_l[0, t]
+                q0j = q0_l[1, t]
+                ohr, qsel = _tile_qr_win(idx, q0i, q0j, win, tile, dtype)
+                return ohr, qsel, q0i, q0j, 2 * win
+            ohr, qsel = _tile_qr(idx, Q, dtype)
+            return ohr, qsel, None, None, Q
+
+        def tile_gather(p_parts, ohr, qsel, A, q0i, q0j, rows):
+            parts = (
+                _win_parts(p_parts, A, Q, win, q0i, q0j) if win else p_parts
+            )
+            return _gather2(parts, ohr, qsel, A, rows, dtype)
+
+        def tile_acc(acc, contrib, R, q0i, q0j):
+            if win:
+                return _acc_win_add(acc, contrib, R, Q, win, q0i, q0j)
+            return acc + contrib
 
         nidx = (
             jax.lax.broadcasted_iota(jnp.int32, (8, L), 0) * L
@@ -206,8 +229,8 @@ def _make_body(
                     idx = jax.lax.dynamic_slice(
                         eidx_l, (0, t * 2 * tile), (1, 2 * tile)
                     )
-                    ohr, qsel = _tile_qr(idx, Q, dtype)
-                    pg = _gather2(p_parts, ohr, qsel, 3, Q, dtype)
+                    ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
+                    pg = tile_gather(p_parts, ohr, qsel, 3, q0i, q0j, rows)
                     xi_t = tuple(pg[a : a + 1, :tile] for a in range(3))
                     xj_t = tuple(pg[a : a + 1, tile:] for a in range(3))
                     eld = jax.lax.dynamic_slice(
@@ -265,8 +288,8 @@ def _make_body(
                     idx = jax.lax.dynamic_slice(
                         eidx_l, (0, t * 2 * tile), (1, 2 * tile)
                     )
-                    ohr, qsel = _tile_qr(idx, Q, dtype)
-                    pg = _gather2(p_parts, ohr, qsel, 3, Q, dtype)
+                    ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
+                    pg = tile_gather(p_parts, ohr, qsel, 3, q0i, q0j, rows)
                     xi_t = tuple(pg[a : a + 1, :tile] for a in range(3))
                     xj_t = tuple(pg[a : a + 1, tile:] for a in range(3))
                     eld = jax.lax.dynamic_slice(
@@ -292,7 +315,11 @@ def _make_body(
                            for a in range(3)],
                         axis=0,
                     )
-                    return Dg + _scatter2(C, ohr, qsel, dtype), Aij_store
+                    return (
+                        tile_acc(Dg, _scatter2(C, ohr, qsel, dtype), 12,
+                                 q0i, q0j),
+                        Aij_store,
+                    )
 
                 Dg0 = jnp.zeros((12 * Q, 128), dtype)
                 A0 = jnp.zeros((9, tiles_per_dev * tile), dtype)
@@ -357,8 +384,8 @@ def _make_body(
                         idx = jax.lax.dynamic_slice(
                             eidx_l, (0, t * 2 * tile), (1, 2 * tile)
                         )
-                        ohr, qsel = _tile_qr(idx, Q, dtype)
-                        vg = _gather2(v_parts, ohr, qsel, 3, Q, dtype)
+                        ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
+                        vg = tile_gather(v_parts, ohr, qsel, 3, q0i, q0j, rows)
                         vi = tuple(vg[a : a + 1, :tile] for a in range(3))
                         vj = tuple(vg[a : a + 1, tile:] for a in range(3))
                         A = tuple(
@@ -374,8 +401,11 @@ def _make_body(
                              for a in range(3)],
                             axis=0,
                         )
-                        return acc + _scatter2(
-                            ys, ohr, qsel, dtype, n_splits=hvp_splits
+                        return tile_acc(
+                            acc,
+                            _scatter2(ys, ohr, qsel, dtype,
+                                      n_splits=hvp_splits),
+                            3, q0i, q0j,
                         )
 
                     acc0 = jnp.zeros((3 * Q, 128), dtype)
@@ -520,6 +550,20 @@ def _dist_fused(
     eld = jnp.pad(eld, ((0, 0), (0, (n_pad - n_tiles) * tile)))
     tiles_per_dev = n_pad // D
 
+    # page-windowed bucketing metadata (ops/bucketize.py), sharded with the
+    # tiles; dummy tiles get window 0 (their masked edges index node 0)
+    win = graph.page_window
+    if win:
+        q0 = graph.tile_page0
+        if q0.shape[1] != n_tiles:
+            raise ValueError(
+                f"bucketized graph has {q0.shape[1]} tiles but edge_tile="
+                f"{tile} packs {n_tiles}"
+            )
+        q0 = jnp.pad(q0, ((0, 0), (0, n_pad - n_tiles)))
+    else:
+        q0 = jnp.zeros((2, n_pad), jnp.int32)
+
     E_loop = int(graph.edges.shape[0]) - c
     if E_loop > 0 and n_tiles > 0:
         idx_e = jnp.arange(E_loop, dtype=jnp.int32)
@@ -535,6 +579,7 @@ def _dist_fused(
         tile=tile, tiles_per_dev=tiles_eff, huber_delta=huber_delta,
         hvp_splits=hvp_splits, eps=3e-4, lm=lm, lam0=lam0,
         lam_factor=lam_factor, lam_min=lam_min, lam_max=lam_max, axis=axis,
+        win=win,
     )
     fn = shard_map(
         body,
@@ -543,11 +588,12 @@ def _dist_fused(
             P(), P(), P(), P(), P(), P(),  # nt, poses, cz, cR, pz, pR
             P(None, axis),                 # eidx tiles
             P(None, axis),                 # eld tiles
+            P(None, axis),                 # tile window starts
         ),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    out, stats = fn(nt, poses_pl, cz, cR, pz, pR, eidx, eld)
+    out, stats = fn(nt, poses_pl, cz, cR, pz, pR, eidx, eld, q0)
     return out.reshape(3, Npad)[:, :N].T, stats
 
 

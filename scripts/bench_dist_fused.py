@@ -69,31 +69,35 @@ def main():
         graph = from_dataset(data)
         poses0 = jnp.asarray(data["poses"])
         gt = jnp.asarray(data["gt"])
+        # Steady-state methodology: chaining solves in a lax.scan (bench.py
+        # style) compiles pathologically slowly around shard_map on the
+        # relay, so run ONE dispatch with chain*iters GN iterations inside
+        # the solver's own fori_loop instead (same amortization: device time
+        # >> the ~27 ms relay floor) and subtract the floor.
+        long_iters = chain * iters
         row = {}
         for nd in dev_counts:
             mesh = make_mesh(num_devices=nd)
-
-            @jax.jit
-            def solve_chain(p):
-                def body(p, _):
-                    return dist_fused_gn_solve(
-                        p, graph, mesh, cfg, iterations=iters
-                    ), None
-                return jax.lax.scan(body, p, None, length=chain)[0]
-
             t0 = time.perf_counter()
-            res = np.asarray(solve_chain(poses0))
+            res = np.asarray(
+                dist_fused_gn_solve(poses0, graph, mesh, cfg,
+                                    iterations=long_iters)
+            )
             log(f"{name} nd={nd}: compile+run {time.perf_counter()-t0:.1f}s")
             ate = float(metrics.ate(jnp.asarray(res), gt))
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                np.asarray(solve_chain(poses0))
+                np.asarray(
+                    dist_fused_gn_solve(poses0, graph, mesh, cfg,
+                                        iterations=long_iters)
+                )
                 ts.append(time.perf_counter() - t0)
-            r = chain * iters / min(ts)
-            log(f"{name} nd={nd}: {r:.1f} it/s (chained ATE {ate:.3f})")
+            floor = 0.0265 if not args.cpu else 0.0
+            r = long_iters / max(min(ts) - floor, 1e-9)
+            log(f"{name} nd={nd}: {r:.1f} it/s ({long_iters}-iter ATE {ate:.3f})")
             row[f"devices_{nd}"] = round(r, 2)
-            row["ate_chained"] = round(ate, 4)
+            row["ate"] = round(ate, 4)
             row["chi2"] = round(float(chi2(jnp.asarray(res), graph)), 1)
         if len(dev_counts) > 1:
             nd = dev_counts[-1]

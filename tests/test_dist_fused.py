@@ -100,3 +100,19 @@ def test_dist_fused_rejects_se3():
     bad = jnp.zeros((100, 12))
     with pytest.raises(ValueError):
         dist_fused_gn_solve(bad, graph, make_mesh(num_devices=1))
+
+
+def test_dist_fused_gn_page_windowed_matches_plain():
+    # bucketized graphs (page-windowed tiles, ops/bucketize.py) shard their
+    # window metadata with the tiles and must match the plain path
+    from graphslam_tpu.ops.bucketize import bucketize_loops
+
+    data = datasets.manhattan(n_poses=900, seed=4, loop_prob=0.5)
+    graph = from_dataset(data)
+    poses0 = jnp.asarray(data["poses"])
+    cfg = SolverConfig(cg_max_iterations=15, edge_tile=128)
+    mesh = make_mesh(num_devices=8)
+    ref = np.asarray(dist_fused_gn_solve(poses0, graph, mesh, cfg, iterations=4))
+    gb = bucketize_loops(graph, page_window=2, tile=128)
+    out = np.asarray(dist_fused_gn_solve(poses0, gb, mesh, cfg, iterations=4))
+    np.testing.assert_allclose(out, ref, atol=2e-3)

@@ -89,3 +89,16 @@ def test_fused_lm6_matches_xla_lm():
     assert abs(float(err) - c_ref) < 1e-2 * max(c_ref, 1.0), (float(err), c_ref)
     assert 1 <= int(n_acc) <= 3
     assert float(conv) == 0.0
+
+
+def test_fused_gn6_page_windowed_matches_plain():
+    # page-windowed loop tiles (ops/bucketize.py) on the SE(3) mega-kernel
+    from graphslam_tpu.ops.bucketize import bucketize_loops
+
+    graph, poses0 = _graph(n_rings=8, poses_per_ring=10, seed=27)
+    ref = fused_gn6_solve(poses0, graph, iterations=3, cg_iters=12,
+                          interpret=True)
+    gb = bucketize_loops(graph, page_window=2, tile=128)
+    out = fused_gn6_solve(poses0, gb, iterations=3, cg_iters=12,
+                          edge_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-3)

@@ -112,3 +112,54 @@ def test_fused_lm_matches_xla_lm():
     # latch the small-decrease convergence test
     assert 1 <= int(n_acc) <= 5
     assert float(conv) == 0.0
+
+
+def test_fused_gn_page_windowed_matches_plain():
+    # Page-windowed loop-edge bucketing (ops/bucketize.py): the bucketized
+    # graph must produce the same trajectory as the plain tile path — the
+    # windows only narrow the gather/scatter contractions, never the math.
+    from graphslam_tpu.ops.bucketize import bucketize_loops
+
+    data = datasets.manhattan(n_poses=900, seed=4, loop_prob=0.5)
+    graph = from_dataset(data)
+    poses0 = jnp.asarray(data["poses"])
+    ref = fused_gn_solve(poses0, graph, iterations=4, cg_iters=15,
+                         interpret=True)
+    gb = bucketize_loops(graph, page_window=2, tile=128)
+    assert gb.page_window == 2
+    # every tile's endpoints fall inside its declared windows
+    c = gb.chain_prefix
+    le = np.asarray(gb.edges[c:])
+    q0 = np.asarray(gb.tile_page0)
+    for t in range(q0.shape[1]):
+        blk = le[t * 128:(t + 1) * 128]
+        assert ((blk[:, 0] // 128 - q0[0, t]) < 2).all()
+        assert ((blk[:, 0] // 128 - q0[0, t]) >= 0).all()
+        assert ((blk[:, 1] // 128 - q0[1, t]) < 2).all()
+        assert ((blk[:, 1] // 128 - q0[1, t]) >= 0).all()
+    out = fused_gn_solve(poses0, gb, iterations=4, cg_iters=15,
+                         edge_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+    c_out = float(chi2(out, graph))
+    c_ref = float(chi2(ref, graph))
+    assert abs(c_out - c_ref) < 1e-2 * max(c_ref, 1.0)
+
+
+def test_fused_lm_page_windowed_matches_plain():
+    from graphslam_tpu.ops.bucketize import bucketize_loops
+    from graphslam_tpu.ops.gn_kernel import fused_lm_solve
+
+    data = datasets.manhattan(n_poses=600, seed=9, loop_prob=0.4)
+    graph = from_dataset(data)
+    poses0 = jnp.asarray(data["poses"])
+    ref, rerr, *_ = fused_lm_solve(
+        poses0, graph, iterations=3, cg_iters=12, huber_delta=1.0,
+        interpret=True,
+    )
+    gb = bucketize_loops(graph, page_window=2, tile=128)
+    out, err, *_ = fused_lm_solve(
+        poses0, gb, iterations=3, cg_iters=12, huber_delta=1.0,
+        edge_tile=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-3)
+    assert abs(float(err) - float(rerr)) < 1e-2 * max(float(rerr), 1.0)
