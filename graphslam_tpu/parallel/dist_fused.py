@@ -155,6 +155,77 @@ def _p_pcr_apply(A_steps, G_steps, DinvF, b):
 
 
 # ---------------------------------------------------------------------------
+# Lane-slab ("v2") machinery: the PCR factorization/application and the
+# chain H@v — the CG loop's replicated costs — computed per device on its
+# lane slab plus a halo of H = 2^K lanes. Inside a slab+halo window the
+# packed node roll is a PLAIN lane roll, because the window is sliced from
+# the node-circular lane extension below (which carries the true
+# cross-sublane neighbor values at lane boundaries); values within the halo
+# depth of the window edge are garbage and are discarded with the halo.
+# Requires truncated PCR with 2^(K+1) <= L/D — the distributed default
+# (pcr_levels=4) satisfies it for every BASELINE graph at 8 devices.
+# ---------------------------------------------------------------------------
+
+
+def _ext(x, H: int):
+    """(8, L) -> (8, L+2H) node-circular lane extension: lane -1 of
+    sublane s is node s*L-1 = (sublane s-1, lane L-1), and symmetrically on
+    the right — exactly _proll's wrap semantics."""
+    return jnp.concatenate(
+        [jnp.roll(x, 1, 0)[:, -H:], x, jnp.roll(x, -1, 0)[:, :H]], axis=1
+    )
+
+
+def _wslice(x, H: int, start, Wn: int):
+    """Slab+halo window [start-H, start+Lc+H) in true lane coords (start is
+    the slab's first lane; the extension shifts it by +H)."""
+    return jax.lax.dynamic_slice(_ext(x, H), (0, start), (8, Wn))
+
+
+def _wroll3(v3, s: int):
+    return tuple(jnp.roll(v, s, axis=1) for v in v3)
+
+
+def _pw_lane_roll(A, h: int):
+    return tuple(tuple(jnp.roll(x, h, axis=1) for x in r) for r in A)
+
+
+def _pw_pcr_factor(Dt, Ut, Lt, K: int, eps: float):
+    """_p_pcr_factor on window arrays (plain lane rolls)."""
+    A_steps, G_steps = [], []
+    for k in range(K):
+        h = 1 << k
+        Dt = _p_ridge(Dt, eps)
+        Dinv = _p_binv(Dt)
+        alpha = _p_bmm(Lt, _pw_lane_roll(Dinv, h))
+        gamma = _p_bmm(Ut, _pw_lane_roll(Dinv, -h))
+        A_steps.append(alpha)
+        G_steps.append(gamma)
+        Dt = _p_sub(
+            _p_sub(Dt, _p_bmm(alpha, _pw_lane_roll(Ut, h))),
+            _p_bmm(gamma, _pw_lane_roll(Lt, -h)),
+        )
+        Lt = _p_neg(_p_bmm(alpha, _pw_lane_roll(Lt, h)))
+        Ut = _p_neg(_p_bmm(gamma, _pw_lane_roll(Ut, -h)))
+    DinvF = _p_binv(_p_ridge(Dt, eps))
+    return A_steps, G_steps, DinvF
+
+
+def _pw_pcr_apply(A_steps, G_steps, DinvF, b):
+    for k in range(len(A_steps)):
+        h = 1 << k
+        bm = _wroll3(b, h)
+        bp = _wroll3(b, -h)
+        b = tuple(
+            b[a]
+            - sum(A_steps[k][d][a] * bm[(a + d) % 3] for d in range(3))
+            - sum(G_steps[k][d][a] * bp[(a + d) % 3] for d in range(3))
+            for a in range(3)
+        )
+    return _p_bmv(DinvF, b)
+
+
+# ---------------------------------------------------------------------------
 # The per-device SPMD body
 # ---------------------------------------------------------------------------
 
@@ -169,11 +240,15 @@ def _embed(slab, start, L):
 def _make_body(
     *, N, Npad, K, D, iterations, cg_iters, tile, tiles_per_dev,
     huber_delta, hvp_splits, eps, lm, lam0, lam_factor, lam_min, lam_max,
-    axis, win,
+    axis, win, slab_pcr,
 ):
     L = Npad // 8
     Q = Npad // 128
     Lc = L // D
+    # slab-PCR halo: a window value is exact when every factor and rhs it
+    # depends on (reach 2^K - 1 each) lies inside the window
+    Hh = 2 << K
+    Wn = Lc + 2 * Hh
 
     def body(nt, poses_pl, cz, cR, pz, pR, eidx_l, eld_l, q0_l):
         dtype = poses_pl.dtype
@@ -366,16 +441,63 @@ def _make_body(
             Dpl = _p_planes(Dq)
             Upl = _p_planes(Uq)
             Lpl = _p_lane_roll(_p_planes(_m3_T(Uq)), 1)
-            A_steps, G_steps, DinvF = _p_pcr_factor(Dpl, Upl, Lpl, K, eps)
+
+            if slab_pcr:
+                # v2: factor + apply + chain H@v on THIS device's lane slab
+                # (+ halo) only — the CG loop's formerly-replicated costs.
+                def wsl_p(P_):
+                    return tuple(
+                        tuple(_wslice(x, Hh, start, Wn) for x in r)
+                        for r in P_
+                    )
+
+                Dw, Uw, Lw = wsl_p(Dpl), wsl_p(Upl), wsl_p(Lpl)
+                A_steps, G_steps, DinvF = _pw_pcr_factor(Dw, Uw, Lw, K, eps)
+
+                def apply_z(r_full):
+                    rw = tuple(_wslice(x, Hh, start, Wn) for x in r_full)
+                    zw = _pw_pcr_apply(A_steps, G_steps, DinvF, rw)
+                    z_part = jnp.concatenate([
+                        _embed(x[:, Hh : Hh + Lc], start, L) for x in zw
+                    ], axis=0)
+                    z = jax.lax.psum(z_part, axis)
+                    return tuple(z[8 * a : 8 * (a + 1)] for a in range(3))
+
+                def chain_hvp_tall(v_full):
+                    vw = tuple(_wslice(x, Hh, start, Wn) for x in v_full)
+                    h1 = _p_bmv(Dw, vw)
+                    h2 = _p_bmv(Uw, _wroll3(vw, -1))
+                    h3 = _p_bmv(Lw, _wroll3(vw, 1))
+                    out = tuple(
+                        _embed((h1[a] + h2[a] + h3[a])[:, Hh : Hh + Lc],
+                               start, L)
+                        for a in range(3)
+                    )
+                    return _p_tall(out)
+            else:
+                A_steps, G_steps, DinvF = _p_pcr_factor(
+                    Dpl, Upl, Lpl, K, eps
+                )
+
+                def apply_z(r_full):
+                    return _p_pcr_apply(A_steps, G_steps, DinvF, r_full)
+
+                chain_hvp_tall = None
 
             b = tuple(-gq[a] for a in range(3))
 
             def hvp(v):
-                # chain part replicated (cheap plane FMAs on full width)...
-                h1 = _p_bmv(Dpl, v)
-                h2 = _p_bmv(Upl, _proll3(v, -1))
-                h3 = _p_bmv(Lpl, _proll3(v, 1))
-                out = tuple(h1[a] + h2[a] + h3[a] for a in range(3))
+                # chain part: slab-sharded (v2, riding the tile psum) or
+                # replicated (cheap plane FMAs on full width)...
+                if slab_pcr:
+                    base = chain_hvp_tall(v)
+                    out = None
+                else:
+                    h1 = _p_bmv(Dpl, v)
+                    h2 = _p_bmv(Upl, _proll3(v, -1))
+                    h3 = _p_bmv(Lpl, _proll3(v, 1))
+                    out = tuple(h1[a] + h2[a] + h3[a] for a in range(3))
+                    base = jnp.zeros((3 * Q, 128), dtype)
                 # ...loop part sharded: ONE psum per CG iteration.
                 if tiles_per_dev:
                     v_parts = _hi_lo(_p_tall(v), hvp_splits)
@@ -408,16 +530,19 @@ def _make_body(
                             3, q0i, q0j,
                         )
 
-                    acc0 = jnp.zeros((3 * Q, 128), dtype)
-                    acc = jax.lax.fori_loop(0, nt_local, tb, acc0)
+                    acc = jax.lax.fori_loop(0, nt_local, tb, base)
                     tg = _p_untall(jax.lax.psum(acc, axis), 3, L)
-                    out = tuple(out[a] + tg[a] for a in range(3))
+                    out = tg if out is None else tuple(
+                        out[a] + tg[a] for a in range(3)
+                    )
+                elif out is None:
+                    out = _p_untall(jax.lax.psum(base, axis), 3, L)
                 return out
 
             # --- PCG, fixed iteration count (replicated vectors) -----------
             tiny = jnp.asarray(1e-30, dtype)
             r = b
-            z = _p_pcr_apply(A_steps, G_steps, DinvF, r)
+            z = apply_z(r)
             p = z
             rz = sum(jnp.sum(r[a] * z[a]) for a in range(3))
             x = tuple(jnp.zeros_like(v) for v in b)
@@ -429,7 +554,7 @@ def _make_body(
                 alpha = rz / jnp.maximum(pHp, tiny)
                 x = tuple(x[a] + alpha * p[a] for a in range(3))
                 r = tuple(r[a] - alpha * Hp[a] for a in range(3))
-                z = _p_pcr_apply(A_steps, G_steps, DinvF, r)
+                z = apply_z(r)
                 rz_new = sum(jnp.sum(r[a] * z[a]) for a in range(3))
                 beta = rz_new / jnp.maximum(rz, tiny)
                 p = tuple(z[a] + beta * p[a] for a in range(3))
@@ -574,12 +699,16 @@ def _dist_fused(
         nt = jnp.zeros((1, 1), jnp.int32)
         tiles_eff = 0
 
+    # slab-PCR (v2): shard the preconditioner factor/apply + chain H@v by
+    # lane slab when the halo fits — needs truncated PCR (small 2^K);
+    # exact-K falls back to replicated preconditioner work.
+    slab = (L // D + 2 * (2 << K)) <= L and (2 << K) < L
     body = _make_body(
         N=N, Npad=Npad, K=K, D=D, iterations=iterations, cg_iters=cg_iters,
         tile=tile, tiles_per_dev=tiles_eff, huber_delta=huber_delta,
         hvp_splits=hvp_splits, eps=3e-4, lm=lm, lam0=lam0,
         lam_factor=lam_factor, lam_min=lam_min, lam_max=lam_max, axis=axis,
-        win=win,
+        win=win, slab_pcr=slab,
     )
     fn = shard_map(
         body,

@@ -116,3 +116,30 @@ def test_dist_fused_gn_page_windowed_matches_plain():
     gb = bucketize_loops(graph, page_window=2, tile=128)
     out = np.asarray(dist_fused_gn_solve(poses0, gb, mesh, cfg, iterations=4))
     np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_dist_fused_slab_pcr_mesh_invariant():
+    # v2 slab-PCR: with truncated PCR the preconditioner factor/apply and
+    # chain H@v run per lane slab + halo; results must agree across mesh
+    # sizes AND with the mega-kernel (the halo makes the slab apply exact).
+    from graphslam_tpu.parallel import dist_fused as df
+
+    data = datasets.manhattan(n_poses=500, seed=11, loop_prob=0.3)
+    graph = from_dataset(data)
+    poses0 = jnp.asarray(data["poses"])
+    cfg = SolverConfig(cg_max_iterations=15, pcr_levels=3)
+    # slab gate must engage for this shape (L=128, H=16)
+    L = 1024 // 8
+    assert (L // 8 + 2 * (2 << 3)) <= L
+    outs = {}
+    for nd in (2, 8):
+        mesh = make_mesh(num_devices=nd)
+        outs[nd] = np.asarray(
+            dist_fused_gn_solve(poses0, graph, mesh, cfg, iterations=4)
+        )
+    np.testing.assert_allclose(outs[2], outs[8], atol=1e-4)
+    ref = np.asarray(fused_gn_solve(
+        poses0, graph, iterations=4, cg_iters=15, pcr_levels=3,
+        interpret=True,
+    ))
+    np.testing.assert_allclose(outs[8], ref, atol=2e-3)
