@@ -1069,7 +1069,7 @@ def _fused_solve6(
 
     # page-windowed bucketing metadata (ops/bucketize.py, see gn_kernel.py)
     win = graph.page_window
-    if win:
+    if win and n_tiles:
         q0 = graph.tile_page0
         if q0.shape[1] != n_tiles:
             raise ValueError(

@@ -1000,7 +1000,7 @@ def _fused_solve(
     # Page-windowed bucketing (ops/bucketize.py): the graph carries its
     # window map; the bucketizer's tile width must match edge_tile.
     win = graph.page_window
-    if win:
+    if win and n_tiles:
         q0 = graph.tile_page0
         if q0.shape[1] != n_tiles:
             raise ValueError(

@@ -678,7 +678,7 @@ def _dist_fused(
     # page-windowed bucketing metadata (ops/bucketize.py), sharded with the
     # tiles; dummy tiles get window 0 (their masked edges index node 0)
     win = graph.page_window
-    if win:
+    if win and n_tiles:
         q0 = graph.tile_page0
         if q0.shape[1] != n_tiles:
             raise ValueError(

@@ -44,12 +44,15 @@ def time_fn(fn, *args, reps=3):
     return min(ts)
 
 
-def bench_posegraph(name, data, cfg, iters, lm=False, chain=8, ate_gate=None):
+def bench_posegraph(name, data, cfg, iters, lm=False, chain=8, ate_gate=None,
+                    page_window=0):
     """Quality and throughput from the SAME solver configuration: the solve
     that is timed (`iters` GN iterations of _gn_loop, or `iters` LM steps of
     lm_solve when lm=True — Huber and all) is the solve whose ATE/chi2 are
     reported. `ate_gate` is an ABSOLUTE meters bound; missing it marks the
-    row invalid (a broken solver must not post a throughput number)."""
+    row invalid (a broken solver must not post a throughput number).
+    page_window > 0 bucket-orders the loop edges (ops/bucketize.py) with
+    tile width cfg.edge_tile — the windowed fused-kernel fast path."""
     import dataclasses
 
     from graphslam_tpu import metrics
@@ -58,6 +61,10 @@ def bench_posegraph(name, data, cfg, iters, lm=False, chain=8, ate_gate=None):
     from graphslam_tpu.solver.lm import _gn_loop, _solve_mode
 
     graph = from_dataset(data)
+    if page_window:
+        from graphslam_tpu.ops.bucketize import bucketize_loops
+
+        graph = bucketize_loops(graph, page_window, cfg.edge_tile)
     poses0 = jnp.asarray(data["poses"])
     gt = jnp.asarray(data["gt"])
     mode = _solve_mode(cfg, poses0.shape[0])
@@ -296,21 +303,22 @@ def main():
     if "city10000" not in skip and not args.quick:
         out["city10000_gn_fused"] = bench_posegraph(
             "city10000", datasets.city10000(),
-            # round-3 sweep winners (equal chi2/ATE): truncated PCR,
-            # 1024-wide edge tiles, bf16 CG matvec.
+            # round-4: page-windowed bucketing (W=8 pages, 256-wide tiles —
+            # the sweep-cost sweet spot measured in ops/bucketize.py) +
+            # truncated PCR + bf16 CG matvec.
             SolverConfig(mode="gn_fused", cg_max_iterations=50,
                          max_iterations=100, pcr_levels=4,
-                         edge_tile=1024, hvp_splits=1),
-            iters=20, ate_gate=0.6,
+                         edge_tile=256, hvp_splits=1),
+            iters=20, ate_gate=0.6, page_window=8,
         )
     if "sphere2500" not in skip and not args.quick:
         out["sphere2500_se3"] = bench_posegraph(
             "sphere2500", datasets.sphere2500(),
-            # exact PCR (truncation hurts sphere's ring topology);
-            # wide tiles + bf16 matvec are quality-neutral here too.
+            # exact PCR (truncation hurts sphere's ring topology); ring
+            # loops are naturally page-local -> 4-page windows.
             SolverConfig(mode="gn_fused", cg_max_iterations=25,
-                         max_iterations=80, edge_tile=512, hvp_splits=1),
-            iters=20, ate_gate=0.2,
+                         max_iterations=80, edge_tile=256, hvp_splits=1),
+            iters=20, ate_gate=0.2, page_window=4,
         )
     if "garage" not in skip and not args.quick:
         out["garage_se3"] = bench_posegraph(

@@ -163,3 +163,32 @@ def test_fused_lm_page_windowed_matches_plain():
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-3)
     assert abs(float(err) - float(rerr)) < 1e-2 * max(float(rerr), 1.0)
+
+
+def test_bucketize_edge_cases():
+    from graphslam_tpu.ops.bucketize import bucketize_loops
+
+    # chain-only graph: no loop tiles, metadata still well-formed
+    graph, poses0 = _graph(n_poses=150, loop_prob=0.0)
+    gb = bucketize_loops(graph, page_window=2, tile=128)
+    assert int(gb.edges.shape[0]) == gb.chain_prefix
+    out = fused_gn_solve(poses0, gb, iterations=2, cg_iters=10,
+                         edge_tile=128, interpret=True)
+    ref = fused_gn_solve(poses0, graph, iterations=2, cg_iters=10,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    # masked loops are dropped by bucketization (batch-solve semantics)
+    graph2, poses2 = _graph(n_poses=200, seed=3)
+    E = graph2.num_edges
+    c = graph2.chain_prefix
+    mask = graph2.edge_mask.at[c].set(False)
+    gm = graph2.replace(edge_mask=mask)
+    gb2 = bucketize_loops(gm, page_window=2, tile=128)
+    live = int(np.asarray(gb2.edge_mask)[gb2.chain_prefix:].sum())
+    assert live == E - c - 1
+    out2 = fused_gn_solve(poses2, gb2, iterations=2, cg_iters=10,
+                          edge_tile=128, interpret=True)
+    ref2 = fused_gn_solve(poses2, gm, iterations=2, cg_iters=10,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-3)
