@@ -52,10 +52,22 @@ def main():
     from graphslam_tpu.slam.pipeline import state_to_dataset
 
     ds = state_to_dataset(state)
+    # align ground truth into the estimate frame for the overlay (ATE above
+    # is computed with the same rigid alignment)
+    R, t = metrics.align_umeyama(
+        jnp.asarray(gt[:, :2]), jnp.asarray(np.asarray(state.kf_poses[:n, :2]))
+    )
+    gt_aligned = np.asarray(gt).copy()
+    gt_aligned[:, :2] = np.asarray(gt[:, :2] @ np.asarray(R).T + np.asarray(t))
     viz.plot_trajectory(
-        np.asarray(state.kf_poses[:n]), gt=gt,
+        np.asarray(state.kf_poses[:n]), gt=gt_aligned,
         edges=ds["edges"],
         is_loop=ds["is_loop"],
+        # live pose_opti marginal covariances (Keyframe.msg contract) as
+        # 1-sigma ellipses, the way rviz renders covariance markers
+        covariances=ds["covariances"],
+        ellipse_every=8,
+        ellipse_sigma=1.0,
         path=os.path.join(args.out, "demo_traj.png"),
         title=f"closed-loop SLAM ({n} keyframes, ATE {ate:.2f} m)",
     )
