@@ -194,12 +194,15 @@ def bench_dist_fused(quick):
     from graphslam_tpu.parallel import make_mesh
     from graphslam_tpu.parallel.dist_fused import dist_fused_gn_solve
 
+    from graphslam_tpu.ops.bucketize import bucketize_loops
+
     data = datasets.m3500() if not quick else datasets.manhattan(1000, seed=5)
     graph = from_dataset(data)
     poses0 = jnp.asarray(data["poses"])
     gt = jnp.asarray(data["gt"])
     cfg = SolverConfig(cg_max_iterations=25, pcr_levels=4,
-                       edge_tile=512, hvp_splits=1)
+                       edge_tile=256, hvp_splits=1)
+    graph = bucketize_loops(graph, page_window=8, tile=cfg.edge_tile)
     # steady state via a long single dispatch (a lax.scan chain around
     # shard_map compiles pathologically slowly on the relay); the ~27 ms
     # relay floor is <15% of the device time at 200 iterations.

@@ -40,21 +40,21 @@ def main():
     from graphslam_tpu.config import SolverConfig
     from graphslam_tpu.factors import from_dataset, chi2
     from graphslam_tpu.io import datasets
+    from graphslam_tpu.ops.bucketize import bucketize_loops
     from graphslam_tpu.parallel.dist import make_mesh
     from graphslam_tpu.parallel.dist_fused import dist_fused_gn_solve
 
     def log(*a):
         print(*a, file=sys.stderr, flush=True)
 
+    tile = 256 if not args.cpu else 128
     specs = {
         "m3500": (datasets.m3500, 50, 10,
                   SolverConfig(cg_max_iterations=25, pcr_levels=4,
-                               edge_tile=512 if not args.cpu else 128,
-                               hvp_splits=1)),
+                               edge_tile=tile, hvp_splits=1)),
         "city10000": (datasets.city10000, 20, 4,
                       SolverConfig(cg_max_iterations=50, pcr_levels=4,
-                                   edge_tile=512 if not args.cpu else 128,
-                                   hvp_splits=1)),
+                                   edge_tile=tile, hvp_splits=1)),
     }
 
     out = {"devices": [str(d) for d in jax.devices()]}
@@ -66,7 +66,7 @@ def main():
         if args.chain:
             chain = args.chain
         data = ds()
-        graph = from_dataset(data)
+        graph = bucketize_loops(from_dataset(data), page_window=8, tile=tile)
         poses0 = jnp.asarray(data["poses"])
         gt = jnp.asarray(data["gt"])
         # Steady-state methodology: chaining solves in a lax.scan (bench.py
