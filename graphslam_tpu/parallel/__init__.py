@@ -18,3 +18,7 @@ from graphslam_tpu.parallel.dist_fused import (  # noqa: F401
     dist_fused_gn_solve,
     dist_fused_lm_solve,
 )
+from graphslam_tpu.parallel.dist_fused6 import (  # noqa: F401
+    dist_fused6_gn_solve,
+    dist_fused6_lm_solve,
+)
