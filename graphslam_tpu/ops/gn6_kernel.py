@@ -624,11 +624,17 @@ def _gn6_kernel(
         ohr, qsel = _tile_qr(idx, Q, dtype)
         return ohr, qsel, None, None, Q
 
-    def tile_gather(p_parts, ohr, qsel, A, q0i, q0j, rows):
-        parts = (
-            _win_parts(p_parts, A, Q, win, q0i, q0j) if win else p_parts
-        )
-        return _gather2(parts, ohr, qsel, A, rows, dtype)
+    def prep_src(tall, ns):
+        """Windowed mode keeps the f32 tall array (the per-tile window is
+        hi/lo-split after slicing — Mosaic's dynamic rotate is 32-bit only);
+        full mode pre-splits (see gn_kernel.py)."""
+        return tall if win else _hi_lo(tall, ns)
+
+    def tile_gather(p_src, ohr, qsel, A, q0i, q0j, rows, ns):
+        if win:
+            parts = _hi_lo(_win_parts(p_src, A, Q, win, q0i, q0j), ns)
+            return _gather2(parts, ohr, qsel, A, rows, dtype)
+        return _gather2(p_src, ohr, qsel, A, rows, dtype)
 
     def tile_accumulate(acc, contrib, R, q0i, q0j):
         if win:
@@ -665,11 +671,11 @@ def _gn6_kernel(
         W = _rows_g6p(pW_ref)
         return z, W
 
-    def tile_edge_parts(poses_parts, t):
+    def tile_edge_parts(poses_src, t):
         """Gather endpoint poses + unpack tile measurement/info rows."""
         idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
         ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
-        pg = tile_gather(poses_parts, ohr, qsel, 12, q0i, q0j, rows)
+        pg = tile_gather(poses_src, ohr, qsel, 12, q0i, q0j, rows, 3)
         xi_t = _pose_of(tuple(pg[a : a + 1, :tile] for a in range(12)))
         xj_t = _pose_of(tuple(pg[a : a + 1, tile:] for a in range(12)))
         sle = pl.ds(t * tile, tile)
@@ -688,10 +694,10 @@ def _gn6_kernel(
         e += sum(jnp.sum(x * x) for x in rp)
 
         if n_tiles:
-            p_parts = _hi_lo(_p_tall(poses), 3)
+            p_src = prep_src(_p_tall(poses), 3)
 
             def tile_body(t, acc):
-                _, xi_t, xj_t, z_t, W_t = tile_edge_parts(p_parts, t)
+                _, xi_t, xj_t, z_t, W_t = tile_edge_parts(p_src, t)
                 rw_t = _residual6(xi_t, xj_t, z_t, W_t)
                 et = sum(x * x for x in rw_t)
                 if huber_delta > 0.0:
@@ -739,11 +745,11 @@ def _gn6_kernel(
 
         # loop edges
         if n_tiles:
-            p_parts = _hi_lo(_p_tall(poses), 3)
+            p_src = prep_src(_p_tall(poses), 3)
 
             def tile_body(t, carry):
                 Dg = carry  # tall (42*Q, 128): rows 0-35 D entries, 36-41 g
-                oh, xi_t, xj_t, z_t, W_t = tile_edge_parts(p_parts, t)
+                oh, xi_t, xj_t, z_t, W_t = tile_edge_parts(p_src, t)
                 rw_t, Jiw_t, Jjw_t = _linearize6(xi_t, xj_t, z_t, W_t, huber_delta)
                 Aii_t, Aij_t, Ajj_t, gi_t, gj_t = _g6_outer(Jiw_t, Jjw_t, rw_t)
                 # stash Aij rows for the CG matvec (36 rows per tile)
@@ -792,12 +798,13 @@ def _gn6_kernel(
             h3 = _pg_bmv(Lpl, tuple(_proll(x, 1) for x in v))
             out = tuple(h1[a] + h2[a] + h3[a] for a in range(6))
             if n_tiles:
-                v_parts = _hi_lo(_p_tall(v), hvp_splits)
+                v_src = prep_src(_p_tall(v), hvp_splits)
 
                 def tile_body(t, acc):
                     idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
                     ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
-                    vg = tile_gather(v_parts, ohr, qsel, 6, q0i, q0j, rows)
+                    vg = tile_gather(v_src, ohr, qsel, 6, q0i, q0j, rows,
+                                     hvp_splits)
                     vi = tuple(vg[a : a + 1, :tile] for a in range(6))
                     vj = tuple(vg[a : a + 1, tile:] for a in range(6))
                     sle = pl.ds(t * tile, tile)

@@ -524,31 +524,41 @@ def _tile_qr_win(idx, q0i, q0j, W: int, tile: int, dtype):
     return ohr, qsel
 
 
-def _win_parts(p_parts, A: int, Q: int, W: int, q0i, q0j):
-    """Windowed tall slices of hi/lo pieces: for each piece (A*Q, 128),
-    rows [a*Q+q0i, +W) then [a*Q+q0j, +W) per component a -> (A*2W, 128)."""
-    outs = []
-    for part in p_parts:
-        rows = []
-        for a in range(A):
-            rows.append(jax.lax.dynamic_slice(part, (a * Q + q0i, 0), (W, 128)))
-            rows.append(jax.lax.dynamic_slice(part, (a * Q + q0j, 0), (W, 128)))
-        outs.append(jnp.concatenate(rows, axis=0))
-    return outs
+def _win_parts(p_full, A: int, Q: int, W: int, q0i, q0j):
+    """Windowed tall slice of the FULL-PRECISION tall array (A*Q, 128):
+    rows [a*Q+q0i, +W) then [a*Q+q0j, +W) per component a -> (A*2W, 128).
+
+    Implemented as DYNAMIC sublane rotates + static slices: Mosaic has no
+    value-level dynamic_slice, and its dynamic rotate is 32-bit-only — so
+    the window is cut from the f32 source and hi/lo-split afterwards
+    (callers split per tile; the window is tiny)."""
+    si = (Q - q0i) % Q
+    sj = (Q - q0j) % Q
+    rows = []
+    for a in range(A):
+        blk = p_full[a * Q : (a + 1) * Q]
+        rows.append(pltpu.roll(blk, si, 0)[:W])
+        rows.append(pltpu.roll(blk, sj, 0)[:W])
+    return jnp.concatenate(rows, axis=0)
 
 
 def _acc_win_add(acc, contrib, R: int, Q: int, W: int, q0i, q0j):
     """Add a windowed scatter contribution (R*2W, 128) into the full tall
-    accumulator (R*Q, 128) at the tile's window rows. Sequential
-    read-modify-write per half, so q0i == q0j (diagonal buckets) is exact."""
+    accumulator (R*Q, 128) at the tile's window rows: zero-pad each half to
+    Q rows and rotate it into place (dynamic sublane rotate). The two
+    halves add independently, so q0i == q0j (diagonal buckets) is exact."""
+    outs = []
+    zeros = jnp.zeros((Q - W, 128), acc.dtype)
     for rc in range(R):
-        for base, off in ((0, q0i), (W, q0j)):
-            rows = contrib[rc * 2 * W + base : rc * 2 * W + base + W]
-            cur = jax.lax.dynamic_slice(acc, (rc * Q + off, 0), (W, 128))
-            acc = jax.lax.dynamic_update_slice(
-                acc, cur + rows, (rc * Q + off, 0)
-            )
-    return acc
+        blk = acc[rc * Q : (rc + 1) * Q]
+        ci = contrib[rc * 2 * W : rc * 2 * W + W]
+        cj = contrib[rc * 2 * W + W : rc * 2 * W + 2 * W]
+        zi = jnp.concatenate([ci, zeros], axis=0)
+        zj = jnp.concatenate([cj, zeros], axis=0)
+        outs.append(
+            blk + pltpu.roll(zi, q0i, 0) + pltpu.roll(zj, q0j, 0)
+        )
+    return jnp.concatenate(outs, axis=0)
 
 
 def _residual_rows(xi, xj, z, R):
@@ -575,7 +585,7 @@ def _gn_kernel(
     out_ref, stats_ref, Aij_ref, *,
     N: int, Npad: int, K: int, n_gn: int, cg_iters: int, n_tiles: int,
     eps: float, huber_delta: float, tile: int, pcr_bf16: bool,
-    hvp_splits: int, win: int,
+    hvp_splits: int, win: int, warm_start: bool, cg_ramp,
     lm: bool, lam0: float, lam_factor: float, lam_min: float, lam_max: float,
     abs_tol: float, rel_tol: float,
 ):
@@ -598,11 +608,17 @@ def _gn_kernel(
         ohr, qsel = _tile_qr(idx, Q, dtype)
         return ohr, qsel, None, None, Q
 
-    def tile_gather(p_parts, ohr, qsel, A, q0i, q0j, rows):
-        parts = (
-            _win_parts(p_parts, A, Q, win, q0i, q0j) if win else p_parts
-        )
-        return _gather2(parts, ohr, qsel, A, rows, dtype)
+    def prep_src(tall, ns):
+        """Gather source for the tile sweeps: windowed mode keeps the f32
+        tall array (the per-tile window is hi/lo-split after slicing —
+        Mosaic's dynamic rotate is 32-bit only); full mode pre-splits."""
+        return tall if win else _hi_lo(tall, ns)
+
+    def tile_gather(p_src, ohr, qsel, A, q0i, q0j, rows, ns):
+        if win:
+            parts = _hi_lo(_win_parts(p_src, A, Q, win, q0i, q0j), ns)
+            return _gather2(parts, ohr, qsel, A, rows, dtype)
+        return _gather2(p_src, ohr, qsel, A, rows, dtype)
 
     def tile_accumulate(acc, contrib, R, q0i, q0j):
         if win:
@@ -632,12 +648,12 @@ def _gn_kernel(
         e += sum(jnp.sum(x * x) for x in rpw)
 
         if n_tiles:
-            p_parts = _hi_lo(_p_tall(poses), 3)
+            p_src = prep_src(_p_tall(poses), 3)
 
             def tile_body(t, acc):
                 idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
                 ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
-                pg = tile_gather(p_parts, ohr, qsel, 3, q0i, q0j, rows)
+                pg = tile_gather(p_src, ohr, qsel, 3, q0i, q0j, rows, 3)
                 xi_t = tuple(pg[a : a + 1, :tile] for a in range(3))
                 xj_t = tuple(pg[a : a + 1, tile:] for a in range(3))
                 eld = eld_ref[:, pl.ds(t * tile, tile)]
@@ -657,7 +673,9 @@ def _gn_kernel(
             e = jax.lax.fori_loop(0, nt, tile_body, e)
         return e
 
-    def solve_dx(poses, lam):
+    def solve_dx(poses, lam, x0=None, cg_n=None):
+        if cg_n is None:
+            cg_n = cg_iters
         xi = poses
         xj = _proll3(poses, -1)
 
@@ -693,13 +711,13 @@ def _gn_kernel(
 
         # --- loop edges: tile loop, two-level one-hot gather/scatter -------
         if n_tiles:
-            p_parts = _hi_lo(_p_tall(poses), 3)  # ~f32-exact
+            p_src = prep_src(_p_tall(poses), 3)  # ~f32-exact
 
             def tile_body(t, carry):
                 Dg = carry  # tall (12*Q, 128): rows 0-8 D entries, 9-11 g
                 idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
                 ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
-                pg = tile_gather(p_parts, ohr, qsel, 3, q0i, q0j, rows)
+                pg = tile_gather(p_src, ohr, qsel, 3, q0i, q0j, rows, 3)
                 xi_t = tuple(pg[a : a + 1, :tile] for a in range(3))
                 xj_t = tuple(pg[a : a + 1, tile:] for a in range(3))
                 eld = eld_ref[:, pl.ds(t * tile, tile)]
@@ -755,12 +773,13 @@ def _gn_kernel(
             h3 = _p_bmv(Lpl, _proll3(v, 1))
             out = tuple(h1[a] + h2[a] + h3[a] for a in range(3))
             if n_tiles:
-                v_parts = _hi_lo(_p_tall(v), hvp_splits)
+                v_src = prep_src(_p_tall(v), hvp_splits)
 
                 def tile_body(t, acc):
                     idx = eidx_ref[0:1, pl.ds(t * 2 * tile, 2 * tile)]
                     ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
-                    vg = tile_gather(v_parts, ohr, qsel, 3, q0i, q0j, rows)
+                    vg = tile_gather(v_src, ohr, qsel, 3, q0i, q0j, rows,
+                                     hvp_splits)
                     vi = tuple(vg[a : a + 1, :tile] for a in range(3))
                     vj = tuple(vg[a : a + 1, tile:] for a in range(3))
                     A = tuple(
@@ -788,11 +807,21 @@ def _gn_kernel(
 
         # --- preconditioned CG (fixed iteration count) ----------------------
         tiny = jnp.asarray(1e-30, dtype)
-        r = b
+        if x0 is None:
+            x = tuple(jnp.zeros_like(v) for v in b)
+            r = b
+        else:
+            # Warm start with the previous GN step's solution: the
+            # linearization drifts slowly near convergence, so the previous
+            # dx is an excellent initial iterate — one extra H@v buys a
+            # much smaller initial residual (the hot config runs fewer CG
+            # iterations at equal quality; measured on city10000).
+            x = x0
+            hx = hvp(x0)
+            r = tuple(b[a] - hx[a] for a in range(3))
         z = _p_pcr_apply(A_steps, G_steps, DinvF, r)
         p = z
         rz = sum(jnp.sum(r[a] * z[a]) for a in range(3))
-        x = tuple(jnp.zeros_like(v) for v in b)
 
         def cg_body(_, carry):
             x, r, p, rz = carry
@@ -807,7 +836,7 @@ def _gn_kernel(
             p = tuple(z[a] + beta * p[a] for a in range(3))
             return x, r, p, rz_new
 
-        x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x, r, p, rz))
+        x, _, _, _ = jax.lax.fori_loop(0, cg_n, cg_body, (x, r, p, rz))
         return x
 
     def retract(poses, x):
@@ -824,11 +853,28 @@ def _gn_kernel(
 
     if not lm:
         zero = jnp.asarray(0.0, dtype)
+        if warm_start or cg_ramp:
+            # Optionally ramp the CG budget over GN phases: early iterations
+            # (large pose updates) get the full Krylov budget, later ones
+            # (warm-started, tiny updates) a reduced one.
+            phases = cg_ramp if cg_ramp else ((n_gn, cg_iters),)
+            x00 = tuple(jnp.zeros((8, L), dtype) for _ in range(3))
+            carry = (poses0, x00)
+            for n_k, cg_k in phases:
+                def gn_iter(_, c, cg_k=cg_k):
+                    poses, x_prev = c
+                    x = solve_dx(
+                        poses, zero, x_prev if warm_start else None, cg_k
+                    )
+                    return retract(poses, x), x
 
-        def gn_iter(_, poses):
-            return retract(poses, solve_dx(poses, zero))
+                carry = jax.lax.fori_loop(0, n_k, gn_iter, carry)
+            write_out(carry[0])
+        else:
+            def gn_iter(_, poses):
+                return retract(poses, solve_dx(poses, zero))
 
-        write_out(jax.lax.fori_loop(0, n_gn, gn_iter, poses0))
+            write_out(jax.lax.fori_loop(0, n_gn, gn_iter, poses0))
         stats_ref[:] = jnp.zeros((8, 128), dtype)
     else:
         # Full Levenberg-Marquardt: damped solve, candidate chi2,
@@ -921,7 +967,8 @@ def _pack_loop_edges(edges, meas, sqrt_info, mask, c, dtype, tile: int):
     static_argnames=(
         "iterations", "cg_iters", "huber_delta", "interpret", "lm",
         "lam0", "lam_factor", "lam_min", "lam_max", "pcr_levels",
-        "edge_tile", "hvp_splits", "abs_tol", "rel_tol",
+        "edge_tile", "hvp_splits", "abs_tol", "rel_tol", "warm_start",
+        "cg_ramp",
     ),
 )
 def _fused_solve(
@@ -941,6 +988,8 @@ def _fused_solve(
     hvp_splits: int = 2,
     abs_tol: float = 1e-9,
     rel_tol: float = 1e-6,
+    warm_start: bool = False,
+    cg_ramp=None,
 ):
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -1029,7 +1078,8 @@ def _fused_solve(
             _gn_kernel, N=N, Npad=Npad, K=K, n_gn=iterations,
             cg_iters=cg_iters, n_tiles=n_tiles, eps=3e-4,
             huber_delta=huber_delta, tile=tile, pcr_bf16=pcr_bf16,
-            hvp_splits=hvp_splits, win=win,
+            hvp_splits=hvp_splits, win=win, warm_start=warm_start,
+            cg_ramp=cg_ramp,
             lm=lm, lam0=lam0, lam_factor=lam_factor, lam_min=lam_min,
             lam_max=lam_max, abs_tol=abs_tol, rel_tol=rel_tol,
         ),
@@ -1060,6 +1110,8 @@ def fused_gn_solve(
     pcr_levels: int | None = None,
     edge_tile: int = _EDGE_TILE,
     hvp_splits: int = 2,
+    warm_start: bool = False,
+    cg_ramp=None,
 ) -> jnp.ndarray:
     """Run `iterations` full Gauss-Newton iterations in one Pallas kernel.
 
@@ -1074,6 +1126,7 @@ def fused_gn_solve(
         poses0, graph, iterations=iterations, cg_iters=cg_iters,
         huber_delta=huber_delta, interpret=interpret, lm=False,
         pcr_levels=pcr_levels, edge_tile=edge_tile, hvp_splits=hvp_splits,
+        warm_start=warm_start, cg_ramp=cg_ramp,
     )
     return out
 

@@ -54,7 +54,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from graphslam_tpu.config import SolverConfig
 from graphslam_tpu.factors.graph import FactorGraph
 from graphslam_tpu.ops.gn_kernel import (
-    _acc_win_add,
     _c3,
     _c9,
     _gather2,
@@ -84,7 +83,6 @@ from graphslam_tpu.ops.gn_kernel import (
     _se2_log,
     _tile_qr,
     _tile_qr_win,
-    _win_parts,
 )
 
 
@@ -113,6 +111,33 @@ def _proll(v, s: int):
 
 def _proll3(v3, s: int):
     return tuple(_proll(v, s) for v in v3)
+
+
+def _win_parts(p_parts, A: int, Q: int, W: int, q0i, q0j):
+    """XLA twin of gn_kernel._win_parts (jnp.roll takes traced shifts)."""
+    outs = []
+    for part in p_parts:
+        rows = []
+        for a in range(A):
+            blk = part[a * Q : (a + 1) * Q]
+            rows.append(jnp.roll(blk, -q0i, 0)[:W])
+            rows.append(jnp.roll(blk, -q0j, 0)[:W])
+        outs.append(jnp.concatenate(rows, axis=0))
+    return outs
+
+
+def _acc_win_add(acc, contrib, R: int, Q: int, W: int, q0i, q0j):
+    """XLA twin of gn_kernel._acc_win_add."""
+    outs = []
+    zeros = jnp.zeros((Q - W, 128), acc.dtype)
+    for rc in range(R):
+        blk = acc[rc * Q : (rc + 1) * Q]
+        ci = contrib[rc * 2 * W : rc * 2 * W + W]
+        cj = contrib[rc * 2 * W + W : rc * 2 * W + 2 * W]
+        zi = jnp.concatenate([ci, zeros], axis=0)
+        zj = jnp.concatenate([cj, zeros], axis=0)
+        outs.append(blk + jnp.roll(zi, q0i, 0) + jnp.roll(zj, q0j, 0))
+    return jnp.concatenate(outs, axis=0)
 
 
 def _p_lane_roll(A, h: int):

@@ -45,8 +45,6 @@ from graphslam_tpu.ops.gn_kernel import (
     _scatter2,
     _tile_qr,
     _tile_qr_win,
-    _win_parts,
-    _acc_win_add,
     _p_tall,
     _p_untall,
 )
@@ -82,9 +80,11 @@ from graphslam_tpu.ops.gn6_kernel import (
     _v3_add,
 )
 from graphslam_tpu.parallel.dist_fused import (
+    _acc_win_add,  # jnp.roll twins
     _embed,
-    _p_lane_roll,  # jnp.roll twin
-    _proll,        # jnp.roll twin
+    _p_lane_roll,
+    _proll,
+    _win_parts,
 )
 
 

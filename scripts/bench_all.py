@@ -194,15 +194,20 @@ def bench_dist_fused(quick):
     from graphslam_tpu.parallel import make_mesh
     from graphslam_tpu.parallel.dist_fused import dist_fused_gn_solve
 
-    from graphslam_tpu.ops.bucketize import bucketize_loops
-
     data = datasets.m3500() if not quick else datasets.manhattan(1000, seed=5)
     graph = from_dataset(data)
     poses0 = jnp.asarray(data["poses"])
     gt = jnp.asarray(data["gt"])
     cfg = SolverConfig(cg_max_iterations=25, pcr_levels=4,
-                       edge_tile=256, hvp_splits=1)
-    graph = bucketize_loops(graph, page_window=8, tile=cfg.edge_tile)
+                       edge_tile=512, hvp_splits=1)
+    if jax.default_backend() == "cpu":
+        # page windows: 3.9x on CPU XLA, 5x SLOWER on TPU XLA (measured
+        # round 4 — jnp.roll with traced shifts lowers poorly there)
+        from graphslam_tpu.ops.bucketize import bucketize_loops
+
+        cfg = SolverConfig(cg_max_iterations=25, pcr_levels=4,
+                           edge_tile=128, hvp_splits=1)
+        graph = bucketize_loops(graph, page_window=8, tile=cfg.edge_tile)
     # steady state via a long single dispatch (a lax.scan chain around
     # shard_map compiles pathologically slowly on the relay); the ~27 ms
     # relay floor is <15% of the device time at 200 iterations.
@@ -219,6 +224,42 @@ def bench_dist_fused(quick):
         log(f"dist_fused GN {nd} devices: {iters/dt:.1f} it/s "
             f"(ATE {ate:.3f})")
     if len(results) > 2:
+        eff = results[f"devices_{n_dev}"] / (results["devices_1"] * n_dev)
+        results["scaling_efficiency"] = round(eff, 3)
+    return results
+
+
+def bench_dist_fused6(quick):
+    """SE(3) distributed fused-math GN (parallel/dist_fused6.py)."""
+    from graphslam_tpu import metrics
+    from graphslam_tpu.config import SolverConfig
+    from graphslam_tpu.factors import from_dataset
+    from graphslam_tpu.io import datasets
+    from graphslam_tpu.ops.bucketize import bucketize_loops
+    from graphslam_tpu.parallel import make_mesh
+    from graphslam_tpu.parallel.dist_fused6 import dist_fused6_gn_solve
+
+    data = (datasets.sphere2500() if not quick
+            else datasets.sphere(n_rings=10, poses_per_ring=10, seed=3))
+    graph = from_dataset(data)
+    cfg = SolverConfig(cg_max_iterations=25, edge_tile=256, hvp_splits=1)
+    if jax.default_backend() == "cpu":
+        # page windows pay only on CPU XLA (see bench_dist_fused)
+        graph = bucketize_loops(graph, page_window=4, tile=cfg.edge_tile)
+    poses0 = jnp.asarray(data["poses"])
+    gt = jnp.asarray(data["gt"])
+    iters = 80 if not quick else 10
+    results = {}
+    n_dev = len(jax.devices())
+    for nd in sorted({1, n_dev}):
+        mesh = make_mesh(num_devices=nd)
+        out = dist_fused6_gn_solve(poses0, graph, mesh, cfg, iterations=iters)
+        ate = float(metrics.ate(out, gt))
+        dt = time_fn(dist_fused6_gn_solve, poses0, graph, mesh, cfg, iters)
+        results[f"devices_{nd}"] = round(iters / dt, 2)
+        results["ate"] = round(ate, 4)
+        log(f"dist_fused6 GN {nd} devices: {iters/dt:.1f} it/s (ATE {ate:.3f})")
+    if len([k for k in results if k.startswith("devices_")]) > 1:
         eff = results[f"devices_{n_dev}"] / (results["devices_1"] * n_dev)
         results["scaling_efficiency"] = round(eff, 3)
     return results
@@ -306,22 +347,24 @@ def main():
     if "city10000" not in skip and not args.quick:
         out["city10000_gn_fused"] = bench_posegraph(
             "city10000", datasets.city10000(),
-            # round-4: page-windowed bucketing (W=8 pages, 256-wide tiles —
-            # the sweep-cost sweet spot measured in ops/bucketize.py) +
-            # truncated PCR + bf16 CG matvec.
+            # round-3 sweep winners. Round-4 measured NEGATIVES on this
+            # config, kept for the record: page windows are ~neutral on the
+            # Pallas kernel (per-tile cost is overhead- not MXU-bound —
+            # they give 3.9x on the XLA dist path); CG warm start hurts
+            # cold-start quality; CG ramps diverge; pcr_levels=6 loses.
             SolverConfig(mode="gn_fused", cg_max_iterations=50,
                          max_iterations=100, pcr_levels=4,
-                         edge_tile=256, hvp_splits=1),
-            iters=20, ate_gate=0.6, page_window=8,
+                         edge_tile=1024, hvp_splits=1),
+            iters=20, ate_gate=0.6,
         )
     if "sphere2500" not in skip and not args.quick:
         out["sphere2500_se3"] = bench_posegraph(
             "sphere2500", datasets.sphere2500(),
-            # exact PCR (truncation hurts sphere's ring topology); ring
-            # loops are naturally page-local -> 4-page windows.
+            # exact PCR (truncation hurts sphere's ring topology);
+            # wide tiles + bf16 matvec are quality-neutral here too.
             SolverConfig(mode="gn_fused", cg_max_iterations=25,
-                         max_iterations=80, edge_tile=256, hvp_splits=1),
-            iters=20, ate_gate=0.2, page_window=4,
+                         max_iterations=80, edge_tile=512, hvp_splits=1),
+            iters=20, ate_gate=0.2,
         )
     if "garage" not in skip and not args.quick:
         out["garage_se3"] = bench_posegraph(
@@ -336,6 +379,8 @@ def main():
         out["distributed"] = bench_distributed(args.quick)
     if "dist_fused" not in skip:
         out["dist_fused"] = bench_dist_fused(args.quick)
+    if "dist_fused6" not in skip:
+        out["dist_fused6"] = bench_dist_fused6(args.quick)
     if "dist_schur" not in skip:
         out["dist_schur"] = bench_dist_schur(args.quick)
 

@@ -66,7 +66,11 @@ def main():
         if args.chain:
             chain = args.chain
         data = ds()
-        graph = bucketize_loops(from_dataset(data), page_window=8, tile=tile)
+        graph = from_dataset(data)
+        if args.cpu:
+            # page windows pay ONLY on CPU XLA (measured: 3.9x there, 5x
+            # slower on TPU XLA, neutral on the Pallas kernels)
+            graph = bucketize_loops(graph, page_window=8, tile=tile)
         poses0 = jnp.asarray(data["poses"])
         gt = jnp.asarray(data["gt"])
         # Steady-state methodology: chaining solves in a lax.scan (bench.py

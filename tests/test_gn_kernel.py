@@ -192,3 +192,22 @@ def test_bucketize_edge_cases():
     ref2 = fused_gn_solve(poses2, gm, iterations=2, cg_iters=10,
                           interpret=True)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-3)
+
+
+def test_fused_gn_warm_start_and_ramp():
+    # Warm-started CG (x0 = previous GN step's dx) and phased CG budgets
+    # must preserve convergence on a well-conditioned graph (their city-
+    # scale behavior — refinement gains, cold-start losses — is measured
+    # in RESULTS.md).
+    graph, poses0 = _graph(n_poses=300, seed=4)
+    flat = fused_gn_solve(poses0, graph, iterations=4, cg_iters=12,
+                          interpret=True)
+    warm = fused_gn_solve(poses0, graph, iterations=4, cg_iters=12,
+                          warm_start=True, interpret=True)
+    ramp = fused_gn_solve(poses0, graph, iterations=4, cg_iters=12,
+                          warm_start=True, cg_ramp=((2, 12), (2, 8)),
+                          interpret=True)
+    c_flat = float(chi2(flat, graph))
+    for out in (warm, ramp):
+        c = float(chi2(out, graph))
+        assert abs(c - c_flat) < 5e-2 * max(c_flat, 1.0), (c, c_flat)
