@@ -75,6 +75,16 @@ class SolverConfig:
     # via the live-tile count either way.
     edge_tile: int = 256
 
+    # Warm-start CG inside the fused GN kernels: each GN iteration's CG
+    # starts from the previous iteration's dx (one extra H@v). Helps in the
+    # REFINEMENT regime (near-converged trajectories: measured m3500
+    # 8.2k -> 11.7k it/s at cg 12 with better chained ATE) and HURTS cold
+    # starts (the early dx is a bad guess across large linearization
+    # changes — city single-solve ATE 2.7 vs 0.26; RESULTS.md). Off by
+    # default; the online pipeline's periodic re-solves are the intended
+    # consumer.
+    cg_warm_start: bool = False
+
     # bf16 hi/lo splits for the CG matvec gather/scatter inside the fused
     # kernels. 2 (default) reproduces ~f32-exact products; 1 runs the
     # matvec in plain bf16 — HALF the MXU work in the CG loop. CG treats

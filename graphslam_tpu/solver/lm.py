@@ -236,6 +236,9 @@ def _gn_loop(poses0, graph, cfg: SolverConfig, mode: str, iterations: int):
         else:
             from graphslam_tpu.ops.gn6_kernel import fused_gn6_solve as fused_gn_solve
 
+        kw = {}
+        if graph.tangent_dim == 3:
+            kw["warm_start"] = cfg.cg_warm_start
         return fused_gn_solve(
             poses0, graph,
             iterations=iterations,
@@ -243,6 +246,7 @@ def _gn_loop(poses0, graph, cfg: SolverConfig, mode: str, iterations: int):
             pcr_levels=cfg.pcr_levels,
             edge_tile=cfg.edge_tile,
             hvp_splits=cfg.hvp_splits,
+            **kw,
         )
 
     def body(poses, _):
