@@ -200,6 +200,16 @@ class SLAMConfig:
     cov_every: int = 8
     cov_loop_window: int = 64
 
+    # Warm-start CG inside the periodic solves (forces cg_warm_start on the
+    # bucketed fused-GN solver). The online regime is refinement BY
+    # CONSTRUCTION — each periodic solve re-optimizes a graph whose poses
+    # were optimized one keyframe ago (the reference's own warm-start
+    # design: graph.cpp:130 `initial = poses_opti` carries over because
+    # poses persist in SLAMState). Within a solve, each GN iteration's CG
+    # then seeds from the previous iteration's dx. Only the fused kernels
+    # consume it; other modes ignore the flag.
+    warm_start_solves: bool = True
+
     # Scan-to-map matching: the odometry match's target is the union of the
     # last K keyframes' points expressed in the last keyframe's (optimized)
     # frame. 1 = plain scan-to-keyframe (the reference's behavior,

@@ -605,6 +605,7 @@ def _gn6_kernel(
     out_ref, stats_ref, Aij_ref, *,
     N: int, Npad: int, K: int, n_gn: int, cg_iters: int, n_tiles: int,
     eps: float, huber_delta: float, tile: int, hvp_splits: int, win: int,
+    warm_start: bool, cg_ramp,
     lm: bool, lam0: float, lam_factor: float, lam_min: float, lam_max: float,
     abs_tol: float, rel_tol: float,
 ):
@@ -712,7 +713,9 @@ def _gn6_kernel(
             e = jax.lax.fori_loop(0, nt, tile_body, e)
         return e
 
-    def solve_dx(poses, lam):
+    def solve_dx(poses, lam, x0=None, cg_n=None):
+        if cg_n is None:
+            cg_n = cg_iters
         xi, xj, z, W = chain_parts(poses)
         rw, Jiw, Jjw = _linearize6(xi, xj, z, W, -1.0)
         Aii, Aij, Ajj, gi, gj = _g6_outer(Jiw, Jjw, rw)
@@ -836,11 +839,19 @@ def _gn6_kernel(
             return out
 
         tiny = jnp.asarray(1e-30, dtype)
-        r = b
+        if x0 is None:
+            x = tuple(jnp.zeros_like(v) for v in b)
+            r = b
+        else:
+            # Warm start with the previous GN step's solution (see
+            # gn_kernel.py): near convergence the linearization drifts
+            # slowly, so one extra H@v buys a much smaller initial residual.
+            x = x0
+            hx = hvp(x0)
+            r = tuple(b[a] - hx[a] for a in range(6))
         zv = _pg_pcr_apply(A_steps, G_steps, DinvF, r)
         p = zv
         rz = sum(jnp.sum(r[a] * zv[a]) for a in range(6))
-        x = tuple(jnp.zeros_like(v) for v in b)
 
         def cg_body(_, carry):
             x, r, p, rz = carry
@@ -855,7 +866,7 @@ def _gn6_kernel(
             p = tuple(zv[a] + beta * p[a] for a in range(6))
             return x, r, p, rz_new
 
-        x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (x, r, p, rz))
+        x, _, _, _ = jax.lax.fori_loop(0, cg_n, cg_body, (x, r, p, rz))
         return x
 
     def retract(poses, x):
@@ -875,11 +886,28 @@ def _gn6_kernel(
 
     if not lm:
         zero = jnp.asarray(0.0, dtype)
+        if warm_start or cg_ramp:
+            # CG budget phases + warm-started inner solves (see gn_kernel.py:
+            # early iterations get the full Krylov budget; later warm-started
+            # ones a reduced one).
+            phases = cg_ramp if cg_ramp else ((n_gn, cg_iters),)
+            x00 = tuple(jnp.zeros((8, L), dtype) for _ in range(6))
+            carry = (poses0, x00)
+            for n_k, cg_k in phases:
+                def gn_iter(_, c, cg_k=cg_k):
+                    poses, x_prev = c
+                    x = solve_dx(
+                        poses, zero, x_prev if warm_start else None, cg_k
+                    )
+                    return retract(poses, x), x
 
-        def gn_iter(_, poses):
-            return retract(poses, solve_dx(poses, zero))
+                carry = jax.lax.fori_loop(0, n_k, gn_iter, carry)
+            write_out(carry[0])
+        else:
+            def gn_iter(_, poses):
+                return retract(poses, solve_dx(poses, zero))
 
-        write_out(jax.lax.fori_loop(0, n_gn, gn_iter, poses0))
+            write_out(jax.lax.fori_loop(0, n_gn, gn_iter, poses0))
         stats_ref[:] = jnp.zeros((8, 128), dtype)
     else:
         # n_acc counts ACCEPTED steps and conv latches the _lm_loop
@@ -1001,7 +1029,8 @@ def _pack_loop_edges6(edges, meas, sqrt_info, mask, c, dtype, tile: int):
     static_argnames=(
         "iterations", "cg_iters", "huber_delta", "interpret", "lm",
         "lam0", "lam_factor", "lam_min", "lam_max", "pcr_levels",
-        "edge_tile", "hvp_splits", "abs_tol", "rel_tol",
+        "edge_tile", "hvp_splits", "abs_tol", "rel_tol", "warm_start",
+        "cg_ramp",
     ),
 )
 def _fused_solve6(
@@ -1021,6 +1050,8 @@ def _fused_solve6(
     hvp_splits: int = 2,
     abs_tol: float = 1e-9,
     rel_tol: float = 1e-6,
+    warm_start: bool = False,
+    cg_ramp=None,
 ):
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -1101,7 +1132,7 @@ def _fused_solve6(
             _gn6_kernel, N=N, Npad=Npad, K=K, n_gn=iterations,
             cg_iters=cg_iters, n_tiles=n_tiles, eps=3e-4,
             huber_delta=huber_delta, tile=tile, hvp_splits=hvp_splits,
-            win=win,
+            win=win, warm_start=warm_start, cg_ramp=cg_ramp,
             lm=lm, lam0=lam0, lam_factor=lam_factor, lam_min=lam_min,
             lam_max=lam_max, abs_tol=abs_tol, rel_tol=rel_tol,
         ),
@@ -1132,17 +1163,23 @@ def fused_gn6_solve(
     pcr_levels: int | None = None,
     edge_tile: int = _EDGE_TILE,
     hvp_splits: int = 2,
+    warm_start: bool = False,
+    cg_ramp=None,
 ) -> jnp.ndarray:
     """Run `iterations` full SE(3) Gauss-Newton iterations in one Pallas
     kernel. Drop-in for solver/lm.py::_gn_loop(mode="pcg_fused") at T=6 —
     same math (analytic SE(3) linearization with the Barfoot-Q Jacobian
     inverse, 6x6 PCR-preconditioned CG, right retraction + rotation
     renormalize), zero per-iteration launches. Requires graph.chain_prefix
-    > 0 (SLAM graphs)."""
+    > 0 (SLAM graphs). warm_start seeds each CG solve with the previous GN
+    step's solution (the refinement-regime speedup, matching the reference's
+    own warm start at graph.cpp:130); cg_ramp phases the CG budget as
+    ((n_iters, cg_k), ...)."""
     out, _ = _fused_solve6(
         poses0, graph, iterations=iterations, cg_iters=cg_iters,
         huber_delta=huber_delta, interpret=interpret, lm=False,
         pcr_levels=pcr_levels, edge_tile=edge_tile, hvp_splits=hvp_splits,
+        warm_start=warm_start, cg_ramp=cg_ramp,
     )
     return out
 

@@ -181,6 +181,13 @@ def make_slam_step(cfg: SLAMConfig):
     fcfg = cfg.frontend
     angles = beam_angles(fcfg.num_beams, fcfg.fov_rad)
     scfg = cfg.solver
+    if cfg.warm_start_solves and not scfg.cg_warm_start:
+        # Online periodic solves are refinement by construction (poses
+        # persist across solves — graph.cpp:130's warm start); seed each GN
+        # iteration's CG from the previous dx inside the fused kernels.
+        import dataclasses
+
+        scfg = dataclasses.replace(scfg, cg_warm_start=True)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(

@@ -236,9 +236,7 @@ def _gn_loop(poses0, graph, cfg: SolverConfig, mode: str, iterations: int):
         else:
             from graphslam_tpu.ops.gn6_kernel import fused_gn6_solve as fused_gn_solve
 
-        kw = {}
-        if graph.tangent_dim == 3:
-            kw["warm_start"] = cfg.cg_warm_start
+        kw = {"warm_start": cfg.cg_warm_start}
         return fused_gn_solve(
             poses0, graph,
             iterations=iterations,
