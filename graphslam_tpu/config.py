@@ -199,6 +199,16 @@ class SLAMConfig:
     # for loop-dense missions.
     cov_every: int = 8
     cov_loop_window: int = 64
+    # Refresh marginals only on steps that COMMIT a loop closure (instead
+    # of every cov_every-th keyframe). Loop closures are the only events
+    # that shrink uncertainty; between them every fresh keyframe already
+    # gets the dead-reckoning-grade transported covariance at commit time
+    # (pipeline.py), which only grows — so the periodic cadence was paying
+    # the full selected-inverse recovery to reproduce what the transport
+    # already tracks. With solve_every == 1 (default) every loop commit is
+    # followed by its solve, so no refresh is missed; at solve_every > 1 a
+    # loop's refresh lands on the next periodic solve.
+    cov_on_loop_only: bool = True
 
     # Warm-start CG inside the periodic solves (forces cg_warm_start on the
     # bucketed fused-GN solver). The online regime is refinement BY

@@ -446,21 +446,42 @@ def make_slam_step(cfg: SLAMConfig):
                     # Per-keyframe marginal covariances — the pose_opti
                     # covariance contract (Keyframe.msg:4) the reference
                     # sketched in its commented Marginals calls
-                    # (graph.cpp:120,126-127). Selected inverse + Woodbury
-                    # over the live loop window; skipped (stale values kept)
-                    # once num_loops outgrows the static window.
+                    # (graph.cpp:120,126-127). DENSE recovery: at bucket
+                    # sizes (<= 1024 poses) one (3B, 3B) inverse is cheap
+                    # MXU work, and the selected-inverse + Woodbury path
+                    # loses f32 precision exactly in the online regime — a
+                    # long chain anchored only at pose 0 has chain-only
+                    # covariances ~1e4x the loop-corrected marginals, and
+                    # the subtraction cancels past f32 (measured: -0.49
+                    # min eigenvalue / 2e4 rel err at 124 kf, 31 loops;
+                    # RESULTS.md round 5). marginal_covariances_all remains
+                    # the large-graph offline path. Skipped (stale values
+                    # kept) once num_loops outgrows the static window.
                     from graphslam_tpu.solver.marginals import (
                         marginal_covariances_all,
+                        marginal_covariances_dense,
                     )
 
                     def with_cov(s: SLAMState) -> SLAMState:
                         gcov = graph_view(s, cfg, B, loop_size=Fc)
-                        covs = marginal_covariances_all(s.kf_poses[:B], gcov)
+                        if B <= 2048:
+                            covs = marginal_covariances_dense(
+                                s.kf_poses[:B], gcov
+                            )
+                        else:
+                            covs = marginal_covariances_all(
+                                s.kf_poses[:B], gcov
+                            )
                         return s.replace(kf_covs=s.kf_covs.at[:B].set(covs))
 
-                    do_cov = (num_kf % cfg.cov_every == 0) & (
-                        s.num_loops <= Fc
+                    # cov_on_loop_only: uncertainty only shrinks at loop
+                    # commits — refresh there; the per-commit transported
+                    # covariance covers growth between loops (config.py).
+                    want_cov = (
+                        do_loop if cfg.cov_on_loop_only
+                        else (num_kf % cfg.cov_every == 0)
                     )
+                    do_cov = want_cov & (s.num_loops <= Fc)
                     s = jax.lax.cond(do_cov, with_cov, lambda s: s, s)
                 return s
 

@@ -37,7 +37,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scans", type=int, default=300)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--variants", default="full,no-cov,no-solve,no-loop,icp-half")
+    ap.add_argument(
+        "--variants",
+        default="full,cov-periodic,cold-solves,no-cov,no-solve,no-loop,icp-half",
+    )
     args = ap.parse_args()
 
     from graphslam_tpu.config import SLAMConfig, SolverConfig
@@ -62,6 +65,13 @@ def main():
     def variant_cfg(name):
         if name == "full":
             return base
+        if name == "cov-periodic":
+            # the pre-round-5 policy: full recovery every cov_every-th
+            # keyframe regardless of loop commits (vs the default
+            # cov_on_loop_only refresh)
+            return dataclasses.replace(base, cov_on_loop_only=False)
+        if name == "cold-solves":
+            return dataclasses.replace(base, warm_start_solves=False)
         if name == "no-cov":
             return dataclasses.replace(base, cov_every=0)
         if name == "no-solve":
@@ -107,6 +117,8 @@ def main():
         print(f"  {k:10s} {v:7.3f} ms/scan  ({n/results[k]:.1f} fps)")
     pairs = [
         ("covariance recovery", "full", "no-cov"),
+        ("periodic-cov penalty", "cov-periodic", "full"),
+        ("cold-solve penalty", "cold-solves", "full"),
         ("periodic solves", "no-cov", "no-solve"),
         ("loop probes", "no-solve", "no-loop"),
     ]

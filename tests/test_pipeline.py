@@ -298,7 +298,7 @@ class TestClosedLoop:
         cfg = SLAMConfig(
             max_keyframes=64, max_factors=256, frontend=fcfg,
             solver=SolverConfig(mode="pcg", cg_max_iterations=25),
-            cov_every=1,
+            cov_every=1, cov_on_loop_only=False,
         )
         sim = simulate_trajectory(cfg.frontend, step_len=0.4, seed=3)
         state, infos = run_slam(sim["scans"][:60], sim["odom_deltas"][:59], cfg)
@@ -426,3 +426,26 @@ class TestWarmStartedSolves:
         assert ate_warm < 0.5, (ate_warm, ate_cold)
         # warm solves must not degrade the online estimate
         assert ate_warm <= ate_cold + 0.05, (ate_warm, ate_cold)
+
+    def test_cov_refresh_on_loop_commits(self):
+        # cov_on_loop_only (the default): the full selected-inverse
+        # recovery fires only on steps that COMMIT a loop closure; between
+        # loops the per-commit dead-reckoned transport covers growth
+        # (config.py). A refresh must visibly contract uncertainty — the
+        # trace sequence cannot be monotone dead-reckoning growth.
+        fcfg = FrontendConfig(num_beams=361, max_points=384,
+                              icp_iterations=16)
+        cfg = SLAMConfig(
+            max_keyframes=128, max_factors=512, frontend=fcfg,
+            solver=SolverConfig(mode="pcg", cg_max_iterations=50),
+        )
+        sim = simulate_trajectory(fcfg, step_len=0.3, seed=9,
+                                  odom_trans_sigma=0.02, odom_rot_sigma=0.01)
+        state, infos = run_slam(sim["scans"], sim["odom_deltas"], cfg)
+        n = int(state.num_kf)
+        assert int(state.num_loops) >= 1, "tour produced no loop closures"
+        covs = np.asarray(state.kf_covs[:n])
+        eig = np.linalg.eigvalsh(0.5 * (covs + np.swapaxes(covs, -1, -2)))
+        assert (eig > -1e-7).all()
+        tr = np.trace(covs, axis1=-2, axis2=-1)
+        assert (np.diff(tr) < 0).any(), tr
