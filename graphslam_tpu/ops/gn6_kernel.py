@@ -857,12 +857,17 @@ def _gn6_kernel(
             x, r, p, rz = carry
             Ap_ = hvp(p)
             pAp = sum(jnp.sum(p[a] * Ap_[a]) for a in range(6))
-            alpha = rz / jnp.maximum(pAp, tiny)
+            # Krylov-exhaustion guard: on an (at-optimum) near-zero RHS,
+            # f32 roundoff can drive pAp <= 0; clamping alone turns the
+            # sign flip into a ~1e30 step (measured NaN blowup in warm-
+            # started online solves, RESULTS.md round 5). Freeze the
+            # update instead — the exact semantics of a converged CG.
+            alpha = jnp.where(pAp > tiny, rz / jnp.maximum(pAp, tiny), 0.0)
             x = tuple(x[a] + alpha * p[a] for a in range(6))
             r = tuple(r[a] - alpha * Ap_[a] for a in range(6))
             zv = _pg_pcr_apply(A_steps, G_steps, DinvF, r)
             rz_new = sum(jnp.sum(r[a] * zv[a]) for a in range(6))
-            beta = rz_new / jnp.maximum(rz, tiny)
+            beta = jnp.where(rz > tiny, rz_new / jnp.maximum(rz, tiny), 0.0)
             p = tuple(zv[a] + beta * p[a] for a in range(6))
             return x, r, p, rz_new
 

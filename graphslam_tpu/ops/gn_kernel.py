@@ -827,12 +827,17 @@ def _gn_kernel(
             x, r, p, rz = carry
             Ap = hvp(p)
             pAp = sum(jnp.sum(p[a] * Ap[a]) for a in range(3))
-            alpha = rz / jnp.maximum(pAp, tiny)
+            # Krylov-exhaustion guard: on an (at-optimum) near-zero RHS,
+            # f32 roundoff can drive pAp <= 0; clamping alone turns the
+            # sign flip into a ~1e30 step (measured NaN blowup in warm-
+            # started online solves, RESULTS.md round 5). Freeze the
+            # update instead — the exact semantics of a converged CG.
+            alpha = jnp.where(pAp > tiny, rz / jnp.maximum(pAp, tiny), 0.0)
             x = tuple(x[a] + alpha * p[a] for a in range(3))
             r = tuple(r[a] - alpha * Ap[a] for a in range(3))
             z = _p_pcr_apply(A_steps, G_steps, DinvF, r)
             rz_new = sum(jnp.sum(r[a] * z[a]) for a in range(3))
-            beta = rz_new / jnp.maximum(rz, tiny)
+            beta = jnp.where(rz > tiny, rz_new / jnp.maximum(rz, tiny), 0.0)
             p = tuple(z[a] + beta * p[a] for a in range(3))
             return x, r, p, rz_new
 

@@ -272,12 +272,17 @@ def _kernel6(
         x, r, p, rz = carry
         Ap = hvp(p)
         pAp = jnp.sum(p * Ap)
-        alpha = rz / jnp.maximum(pAp, tiny)
+        # Krylov-exhaustion guard: on an (at-optimum) near-zero RHS,
+        # f32 roundoff can drive pAp <= 0; clamping alone turns the
+        # sign flip into a ~1e30 step (measured NaN blowup in warm-
+        # started online solves, RESULTS.md round 5). Freeze the
+        # update instead — the exact semantics of a converged CG.
+        alpha = jnp.where(pAp > tiny, rz / jnp.maximum(pAp, tiny), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = _g_pcr_apply(A_steps, G_steps, DinvF, r)
         rz_new = jnp.sum(r * z)
-        beta = rz_new / jnp.maximum(rz, tiny)
+        beta = jnp.where(rz > tiny, rz_new / jnp.maximum(rz, tiny), 0.0)
         p = z + beta * p
         return x, r, p, rz_new
 

@@ -576,12 +576,17 @@ def _make_body(
                 x, r, p, rz = carry
                 Hp = hvp(p)
                 pHp = sum(jnp.sum(p[a] * Hp[a]) for a in range(3))
-                alpha = rz / jnp.maximum(pHp, tiny)
+                # Krylov-exhaustion guard: on an (at-optimum) near-zero RHS,
+                # f32 roundoff can drive pHp <= 0; clamping alone turns the
+                # sign flip into a ~1e30 step (measured NaN blowup in warm-
+                # started online solves, RESULTS.md round 5). Freeze the
+                # update instead — the exact semantics of a converged CG.
+                alpha = jnp.where(pHp > tiny, rz / jnp.maximum(pHp, tiny), 0.0)
                 x = tuple(x[a] + alpha * p[a] for a in range(3))
                 r = tuple(r[a] - alpha * Hp[a] for a in range(3))
                 z = apply_z(r)
                 rz_new = sum(jnp.sum(r[a] * z[a]) for a in range(3))
-                beta = rz_new / jnp.maximum(rz, tiny)
+                beta = jnp.where(rz > tiny, rz_new / jnp.maximum(rz, tiny), 0.0)
                 p = tuple(z[a] + beta * p[a] for a in range(3))
                 return x, r, p, rz_new
 

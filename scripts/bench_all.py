@@ -136,10 +136,15 @@ def bench_frontend(quick):
     # per-step cost tracking the live map, so the 1024-keyframe budget no
     # longer taxes a 100-keyframe run (round 1 had to shrink capacities to
     # hold fps; the buckets fixed that).
+    # Measured round-5 online ATE-vs-fps curve (RESULTS.md): 4 warm GN
+    # iterations at cg 12 per keyframe hold replay ATE (0.076 vs 0.075 at
+    # 8x cg 25 cold) at the best fps — the iSAM-regime short-warm-solve
+    # configuration.
     cfg = SLAMConfig(
         max_keyframes=1024,
         max_factors=1024,
-        solver=SolverConfig(mode="gn_fused", cg_max_iterations=25),
+        solve_iterations=4,
+        solver=SolverConfig(mode="gn_fused", cg_max_iterations=12),
     )
     sim = simulate_trajectory(cfg.frontend, step_len=0.25, seed=1)
     scans = sim["scans"]

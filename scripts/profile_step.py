@@ -51,7 +51,8 @@ def main():
     base = SLAMConfig(
         max_keyframes=1024,
         max_factors=1024,
-        solver=SolverConfig(mode="gn_fused", cg_max_iterations=25),
+        solve_iterations=4,
+        solver=SolverConfig(mode="gn_fused", cg_max_iterations=12),
     )
     sim = simulate_trajectory(base.frontend, step_len=0.25, seed=1)
     scans = sim["scans"]

@@ -211,3 +211,23 @@ def test_fused_gn_warm_start_and_ramp():
     for out in (warm, ramp):
         c = float(chi2(out, graph))
         assert abs(c - c_flat) < 5e-2 * max(c_flat, 1.0), (c, c_flat)
+
+
+def test_warm_start_at_optimum_stays_finite():
+    # Krylov-exhaustion guard regression (round 5): on a graph ALREADY at
+    # its optimum (b ~ 0) the CG loop runs on pure roundoff noise; f32 can
+    # drive pAp <= 0 and the old rz / max(pAp, tiny) clamp turned the sign
+    # flip into a ~1e30 step — warm-started online solves NaN'd on TPU
+    # after ~5 GN iterations (deterministic Mosaic repro; RESULTS.md).
+    # The guard freezes the update instead. Exact-zero residuals exercise
+    # the same degenerate path in interpret mode.
+    graph, poses0 = _graph(n_poses=200, seed=11)
+    opt = fused_gn_solve(poses0, graph, iterations=6, cg_iters=20,
+                         interpret=True)
+    c_opt = float(chi2(opt, graph))
+    again = fused_gn_solve(opt, graph, iterations=8, cg_iters=25,
+                           warm_start=True, interpret=True)
+    a = np.asarray(again)
+    assert np.isfinite(a).all()
+    c_again = float(chi2(again, graph))
+    assert c_again <= c_opt * (1 + 1e-3) + 1e-6, (c_again, c_opt)
