@@ -90,8 +90,10 @@ def _body(A_loc, B_loc, bI_loc, C_rep, bS_rep, *, axis: str):
     u = jax.vmap(block_solve)(L, bI_loc[..., None])[..., 0]
 
     # Separator combine: the one all-reduce of the whole solve.
-    S_part = jnp.einsum("bip,biq->pq", B_loc, W)
-    r_part = jnp.einsum("bip,bi->p", B_loc, u)
+    # precision=HIGHEST: see solver/schur.py — bf16 partial products make
+    # the psum'd Schur complement indefinite on TPU (NaN Cholesky).
+    S_part = jnp.einsum("bip,biq->pq", B_loc, W, precision=jax.lax.Precision.HIGHEST)
+    r_part = jnp.einsum("bip,bi->p", B_loc, u, precision=jax.lax.Precision.HIGHEST)
     S_hat = C_rep - jax.lax.psum(S_part, axis)
     rhs_hat = bS_rep - jax.lax.psum(r_part, axis)
 
@@ -99,7 +101,7 @@ def _body(A_loc, B_loc, bI_loc, C_rep, bS_rep, *, axis: str):
     ys = jax.scipy.linalg.solve_triangular(Ls, rhs_hat, lower=True)
     xS = jax.scipy.linalg.solve_triangular(Ls.T, ys, lower=False)
 
-    xI = u - jnp.einsum("bip,p->bi", W, xS)
+    xI = u - jnp.einsum("bip,p->bi", W, xS, precision=jax.lax.Precision.HIGHEST)
     return xI, xS
 
 

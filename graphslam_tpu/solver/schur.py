@@ -216,14 +216,17 @@ def schur_solve(
     u = jax.vmap(block_solve)(L, bI[..., None])[..., 0]    # H_II^{-1} bI
 
     # Separator system: S_hat = C - sum_b B^T W ; rhs_hat = bS - sum_b B^T u
-    S_hat = C - jnp.einsum("bip,biq->pq", Bm, W)
-    rhs_hat = bS - jnp.einsum("bip,bi->p", Bm, u)
+    # precision=HIGHEST: the Schur complement subtracts two large
+    # near-equal matrices; bf16 MXU default makes S_hat indefinite and
+    # NaNs the Cholesky on TPU (measured on m3500/sphere2500, round 5).
+    S_hat = C - jnp.einsum("bip,biq->pq", Bm, W, precision=jax.lax.Precision.HIGHEST)
+    rhs_hat = bS - jnp.einsum("bip,bi->p", Bm, u, precision=jax.lax.Precision.HIGHEST)
     Ls = jnp.linalg.cholesky(S_hat + 1e-8 * jnp.eye(q * T, dtype=A.dtype))
     ys = jax.scipy.linalg.solve_triangular(Ls, rhs_hat, lower=True)
     xS = jax.scipy.linalg.solve_triangular(Ls.T, ys, lower=False)
 
     # Back-substitute interiors: xI = u - W xS.
-    xI = u - jnp.einsum("bip,p->bi", W, xS)
+    xI = u - jnp.einsum("bip,p->bi", W, xS, precision=jax.lax.Precision.HIGHEST)
 
     # Scatter back to (N, T).
     dx = jnp.zeros((plan.num_poses, T), sys.g.dtype)
