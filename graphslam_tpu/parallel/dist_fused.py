@@ -53,6 +53,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from graphslam_tpu.config import SolverConfig
 from graphslam_tpu.factors.graph import FactorGraph
+from graphslam_tpu.parallel.cg_step import cg_step, pack_pcr, pack_planes
 from graphslam_tpu.ops.gn_kernel import (
     _c3,
     _c9,
@@ -265,7 +266,7 @@ def _embed(slab, start, L):
 def _make_body(
     *, N, Npad, K, D, iterations, cg_iters, tile, tiles_per_dev,
     huber_delta, hvp_splits, eps, lm, lam0, lam_factor, lam_min, lam_max,
-    axis, win, slab_pcr,
+    axis, win, slab_pcr, cg_kernel, interpret,
 ):
     L = Npad // 8
     Q = Npad // 128
@@ -467,6 +468,110 @@ def _make_body(
             Upl = _p_planes(Uq)
             Lpl = _p_lane_roll(_p_planes(_m3_T(Uq)), 1)
 
+            if cg_kernel:
+                # Fused CG-step path (parallel/cg_step.py): one Pallas
+                # launch + ONE psum per CG iteration — the round-5 profile
+                # pinned the whole 1-device gap on the XLA CG loop's
+                # op-dispatch floor (17.7 vs 3.3 µs/iter, RESULTS.md). The
+                # PCR factor stays XLA (once per GN iteration); its APPLY
+                # moves inside the kernel, replicated full-width, so the
+                # slab z-apply psum disappears entirely.
+                A_steps, G_steps, DinvF = _p_pcr_factor(Dpl, Upl, Lpl, K, eps)
+                afac, gfac, dinv = pack_pcr(A_steps, G_steps, DinvF)
+                dpl_a = pack_planes(Dpl)
+                upl_a = pack_planes(Upl)
+                lpl_a = pack_planes(Lpl)
+
+                def chain_ap(v):
+                    h1 = _p_bmv(Dpl, v)
+                    h2 = _p_bmv(Upl, _proll3(v, -1))
+                    h3 = _p_bmv(Lpl, _proll3(v, 1))
+                    return tuple(h1[a] + h2[a] + h3[a] for a in range(3))
+
+                def tile_partial(v):
+                    """This device's loop-tile H@v partial (no psum)."""
+                    if not tiles_per_dev:
+                        return jnp.zeros((3 * Q, 128), dtype)
+                    v_parts = _hi_lo(_p_tall(v), hvp_splits)
+
+                    def tb(t, acc):
+                        idx = jax.lax.dynamic_slice(
+                            eidx_l, (0, t * 2 * tile), (1, 2 * tile)
+                        )
+                        ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
+                        vg = tile_gather(
+                            v_parts, ohr, qsel, 3, q0i, q0j, rows
+                        )
+                        vi = tuple(vg[a : a + 1, :tile] for a in range(3))
+                        vj = tuple(vg[a : a + 1, tile:] for a in range(3))
+                        A = tuple(
+                            jax.lax.dynamic_slice(
+                                Aij_store, (a, t * tile), (1, tile)
+                            )
+                            for a in range(9)
+                        )
+                        yi = _m3_vec(A, vj)
+                        yj = _m3_Tvec(A, vi)
+                        ys = jnp.concatenate(
+                            [jnp.concatenate([yi[a], yj[a]], axis=1)
+                             for a in range(3)],
+                            axis=0,
+                        )
+                        return tile_acc(
+                            acc,
+                            _scatter2(ys, ohr, qsel, dtype,
+                                      n_splits=hvp_splits),
+                            3, q0i, q0j,
+                        )
+
+                    return jax.lax.fori_loop(
+                        0, nt_local, tb, jnp.zeros((3 * Q, 128), dtype)
+                    )
+
+                # Prologue (XLA, once per GN iteration): r0 = b, z0, p0,
+                # and H@p0 split into its replicated chain part and the
+                # sharded tile partial + the ONE psum.
+                r3 = tuple(-gq[a] for a in range(3))
+                z3 = _p_pcr_apply(A_steps, G_steps, DinvF, r3)
+                p3 = z3
+                rz0 = sum(jnp.sum(r3[a] * z3[a]) for a in range(3))
+                cap3 = chain_ap(p3)
+                s00 = sum(jnp.sum(p3[a] * cap3[a]) for a in range(3))
+                acc0 = tile_partial(p3)
+                s1p = jnp.sum(_p_tall(p3) * acc0)
+                i0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                i1 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                at00 = (i0 == 0) & (i1 == 0)
+                srow = jnp.where(at00, s1p, 0.0).astype(dtype)
+                big = jax.lax.psum(
+                    jnp.concatenate([acc0, srow], axis=0), axis
+                )
+                scal = (
+                    jnp.where(at00, rz0, 0.0)
+                    + jnp.where((i0 == 0) & (i1 == 1), s00, 0.0)
+                ).astype(dtype)
+                cat = lambda t3: jnp.concatenate(t3, axis=0)
+                nt_sm = jnp.reshape(nt_local, (1, 1))
+                carry = (
+                    jnp.zeros((24, L), dtype), cat(r3), cat(p3), cat(cap3),
+                    scal, big,
+                )
+
+                def cg_body_k(_, c):
+                    xx, rr, pp, cc, ss, bb = c
+                    xx, rr, pp, cc, ss, part = cg_step(
+                        xx, rr, pp, cc, ss, bb,
+                        dpl_a, upl_a, lpl_a, afac, gfac, dinv,
+                        eidx_l, Aij_store, nt_sm, q0_l,
+                        K=K, Q=Q, L=L, tile=tile,
+                        tiles_per_dev=tiles_per_dev,
+                        hvp_splits=hvp_splits, win=win, interpret=interpret,
+                    )
+                    return xx, rr, pp, cc, ss, jax.lax.psum(part, axis)
+
+                carry = jax.lax.fori_loop(0, cg_iters, cg_body_k, carry)
+                return _c3(carry[0])
+
             if slab_pcr:
                 # v2: factor + apply + chain H@v on THIS device's lane slab
                 # (+ halo) only — the CG loop's formerly-replicated costs.
@@ -651,13 +756,13 @@ def _make_body(
     static_argnames=(
         "mesh", "axis", "iterations", "cg_iters", "huber_delta",
         "pcr_levels", "edge_tile", "hvp_splits", "lm",
-        "lam0", "lam_factor", "lam_min", "lam_max",
+        "lam0", "lam_factor", "lam_min", "lam_max", "cg_kernel",
     ),
 )
 def _dist_fused(
     poses0, graph: FactorGraph, mesh, axis, iterations, cg_iters,
     huber_delta, pcr_levels, edge_tile, hvp_splits, lm,
-    lam0, lam_factor, lam_min, lam_max,
+    lam0, lam_factor, lam_min, lam_max, cg_kernel,
 ):
     N, T = poses0.shape
     if T != 3:
@@ -729,16 +834,27 @@ def _dist_fused(
         nt = jnp.zeros((1, 1), jnp.int32)
         tiles_eff = 0
 
+    # cg_kernel: None = auto (fused CG-step Pallas kernel on real TPU, XLA
+    # CG loop elsewhere — the CPU mesh keeps the cheap-to-compile path; the
+    # kernel still runs on CPU via interpret=True when explicitly asked).
+    if cg_kernel is None:
+        cg_kernel = jax.default_backend() in ("tpu", "axon")
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
     # slab-PCR (v2): shard the preconditioner factor/apply + chain H@v by
     # lane slab when the halo fits — needs truncated PCR (small 2^K);
-    # exact-K falls back to replicated preconditioner work.
-    slab = (L // D + 2 * (2 << K)) <= L and (2 << K) < L
+    # exact-K falls back to replicated preconditioner work. Moot on the
+    # cg_kernel path, whose in-kernel full-width apply replaces it.
+    slab = (
+        not cg_kernel
+        and (L // D + 2 * (2 << K)) <= L and (2 << K) < L
+    )
     body = _make_body(
         N=N, Npad=Npad, K=K, D=D, iterations=iterations, cg_iters=cg_iters,
         tile=tile, tiles_per_dev=tiles_eff, huber_delta=huber_delta,
         hvp_splits=hvp_splits, eps=3e-4, lm=lm, lam0=lam0,
         lam_factor=lam_factor, lam_min=lam_min, lam_max=lam_max, axis=axis,
-        win=win, slab_pcr=slab,
+        win=win, slab_pcr=slab, cg_kernel=cg_kernel, interpret=interpret,
     )
     fn = shard_map(
         body,
@@ -763,15 +879,18 @@ def dist_fused_gn_solve(
     cfg: SolverConfig = SolverConfig(),
     iterations: int = 10,
     axis: str = "dev",
+    cg_kernel: bool | None = None,
 ):
     """`iterations` full GN iterations of the fused-kernel math, SPMD over
-    `mesh`: sharded loop tiles + chain slabs, one psum per CG iteration.
-    Matches fused_gn_solve's trajectory (same linearization, PCR
-    preconditioner, fixed-count CG, retraction)."""
+    `mesh`: sharded loop tiles, one psum per CG iteration. cg_kernel runs
+    each CG iteration as ONE fused Pallas launch (parallel/cg_step.py);
+    None = auto (on for real TPU). Matches fused_gn_solve's trajectory
+    (same linearization, PCR preconditioner, fixed-count CG, retraction)."""
     out, _ = _dist_fused(
         poses0, graph, mesh, axis, iterations, cfg.cg_max_iterations,
         -1.0, cfg.pcr_levels, cfg.edge_tile, cfg.hvp_splits, False,
         cfg.init_lambda, cfg.lambda_factor, cfg.min_lambda, cfg.max_lambda,
+        cg_kernel,
     )
     return out
 
@@ -783,6 +902,7 @@ def dist_fused_lm_solve(
     cfg: SolverConfig = SolverConfig(),
     iterations: int = 30,
     axis: str = "dev",
+    cg_kernel: bool | None = None,
 ):
     """Distributed LM (damped solve, psum'd candidate chi2, accept/reject +
     lambda schedule replicated). Returns (poses, (chi2, lambda,
@@ -792,5 +912,6 @@ def dist_fused_lm_solve(
         cfg.huber_delta if cfg.use_huber_on_loops else -1.0,
         cfg.pcr_levels, cfg.edge_tile, cfg.hvp_splits, True,
         cfg.init_lambda, cfg.lambda_factor, cfg.min_lambda, cfg.max_lambda,
+        cg_kernel,
     )
     return out, (stats[0], stats[1], stats[2])

@@ -143,3 +143,48 @@ def test_dist_fused_slab_pcr_mesh_invariant():
         interpret=True,
     ))
     np.testing.assert_allclose(outs[8], ref, atol=2e-3)
+
+
+def test_dist_fused_cg_kernel_matches_xla_loop():
+    """Round-5 fused CG-step kernel (parallel/cg_step.py): one Pallas
+    launch + one psum per CG iteration must reproduce the XLA CG loop —
+    same update/preconditioner/matvec math, so the trajectories agree to
+    f32 roundoff. Covers the GN path and the masked/truncated-PCR combo."""
+    graph, poses0 = _problem()
+    cfg = SolverConfig(cg_max_iterations=12)
+    mesh = make_mesh(num_devices=8)
+    ref = np.asarray(
+        dist_fused_gn_solve(
+            poses0, graph, mesh, cfg, iterations=3, cg_kernel=False
+        )
+    )
+    out = np.asarray(
+        dist_fused_gn_solve(
+            poses0, graph, mesh, cfg, iterations=3, cg_kernel=True
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_dist_fused_cg_kernel_lm_and_mesh_invariance():
+    graph, poses0 = _problem(n_poses=200, seed=9)
+    cfg = SolverConfig(
+        cg_max_iterations=10, use_huber_on_loops=True, huber_delta=1.0,
+        pcr_levels=3,
+    )
+    outs = []
+    for nd in (1, 4):
+        mesh = make_mesh(num_devices=nd)
+        out, (err, lam, n_acc) = dist_fused_lm_solve(
+            poses0, graph, mesh, cfg, iterations=3, cg_kernel=True
+        )
+        outs.append((np.asarray(out), float(err), int(n_acc)))
+    # replicated CG state is bit-identical across mesh sizes; only the
+    # tile psum order varies
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-5)
+    mesh = make_mesh(num_devices=4)
+    ref, (rerr, _, rn_acc) = dist_fused_lm_solve(
+        poses0, graph, mesh, cfg, iterations=3, cg_kernel=False
+    )
+    np.testing.assert_allclose(outs[1][0], np.asarray(ref), atol=1e-3)
+    assert outs[1][2] == int(rn_acc)
