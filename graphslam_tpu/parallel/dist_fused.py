@@ -53,7 +53,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from graphslam_tpu.config import SolverConfig
 from graphslam_tpu.factors.graph import FactorGraph
-from graphslam_tpu.parallel.cg_step import cg_step, pack_pcr, pack_planes
+from graphslam_tpu.parallel.cg_step import cg_step, gn_setup, stage_a
 from graphslam_tpu.ops.gn_kernel import (
     _c3,
     _c9,
@@ -361,7 +361,70 @@ def _make_body(
             rpw = _m3_vec(pR_c, rp)
             return e + sum(jnp.sum(v * v) for v in rpw)
 
+        def _solve_dx_kernels(poses, lam):
+            """The fully-kernelized GN inner solve (parallel/cg_step.py):
+            three Mosaic kernels + two psum shapes per GN iteration —
+              * stage_a: chain + this device's loop tiles linearized and
+                assembled in-kernel (chain weighted by w_chain = [d == 0]
+                so the psum counts it once, bit-identical at any mesh
+                size); ONE psum of the whole normal-equation payload;
+              * gn_setup: priors, damping, plane sets, K-level PCR factor,
+                packed layout out (~90 µs/GN-iter as XLA soup on m3500);
+              * cg_step, once per CG iteration + one prologue pass: one
+                Pallas launch + ONE psum each (the round-5 profile pinned
+                the 1-device gap on the XLA CG loop's 17.7 µs/iter
+                dispatch floor; the kernel's marginal cost measured
+                3.8-4.0 µs)."""
+            nt_sm = jnp.reshape(nt_local, (1, 1))
+            w_chain = jnp.reshape((d == 0).astype(dtype), (1, 1))
+            big_part, Aij_k = stage_a(
+                jnp.concatenate(poses, axis=0), cz, cR, eidx_l, eld_l,
+                nt_sm, w_chain, q0_l,
+                Q=Q, L=L, tile=tile, tiles_per_dev=tiles_per_dev,
+                huber_delta=huber_delta, win=win, interpret=interpret,
+            )
+            big = jax.lax.psum(big_part, axis)
+
+            dpl_a, upl_a, lpl_a, afac, gfac, dinv, b24 = gn_setup(
+                jnp.reshape(jnp.asarray(lam, dtype), (1, 1)),
+                big, jnp.concatenate(poses, axis=0), pz, pR,
+                N=N, K=K, Q=Q, L=L, eps=eps, interpret=interpret,
+            )
+
+            # No XLA prologue: with rz = 0 and an all-zero psum payload
+            # the kernel's Krylov guards give alpha = beta = 0 exactly,
+            # so the FIRST loop pass degenerates into the CG prologue
+            # (x, r unchanged; z = M^-1 b; p = z; first H@p partial).
+            # The loop therefore runs cg_iters + 1 times: one prologue
+            # pass + cg_iters true update passes, all fused.
+            zeros24 = jnp.zeros((24, L), dtype)
+            carry = (
+                zeros24,
+                b24,
+                zeros24,
+                zeros24,
+                jnp.zeros((8, 128), dtype),
+                jnp.zeros((3 * Q + 8, 128), dtype),
+            )
+
+            def cg_body_k(_, c):
+                xx, rr, pp, cc, ss, bb = c
+                xx, rr, pp, cc, ss, part = cg_step(
+                    xx, rr, pp, cc, ss, bb,
+                    dpl_a, upl_a, lpl_a, afac, gfac, dinv,
+                    eidx_l, Aij_k, nt_sm, q0_l,
+                    K=K, Q=Q, L=L, tile=tile,
+                    tiles_per_dev=tiles_per_dev,
+                    hvp_splits=hvp_splits, win=win, interpret=interpret,
+                )
+                return xx, rr, pp, cc, ss, jax.lax.psum(part, axis)
+
+            carry = jax.lax.fori_loop(0, cg_iters + 1, cg_body_k, carry)
+            return _c3(carry[0])
+
         def solve_dx(poses, lam):
+            if cg_kernel:
+                return _solve_dx_kernels(poses, lam)
             # --- stage A: per-device linearize + assemble (partial) --------
             xi_s = tuple(slab(v) for v in poses)
             xj_s = tuple(slab(v) for v in _proll3(poses, -1))
@@ -467,110 +530,6 @@ def _make_body(
             Dpl = _p_planes(Dq)
             Upl = _p_planes(Uq)
             Lpl = _p_lane_roll(_p_planes(_m3_T(Uq)), 1)
-
-            if cg_kernel:
-                # Fused CG-step path (parallel/cg_step.py): one Pallas
-                # launch + ONE psum per CG iteration — the round-5 profile
-                # pinned the whole 1-device gap on the XLA CG loop's
-                # op-dispatch floor (17.7 vs 3.3 µs/iter, RESULTS.md). The
-                # PCR factor stays XLA (once per GN iteration); its APPLY
-                # moves inside the kernel, replicated full-width, so the
-                # slab z-apply psum disappears entirely.
-                A_steps, G_steps, DinvF = _p_pcr_factor(Dpl, Upl, Lpl, K, eps)
-                afac, gfac, dinv = pack_pcr(A_steps, G_steps, DinvF)
-                dpl_a = pack_planes(Dpl)
-                upl_a = pack_planes(Upl)
-                lpl_a = pack_planes(Lpl)
-
-                def chain_ap(v):
-                    h1 = _p_bmv(Dpl, v)
-                    h2 = _p_bmv(Upl, _proll3(v, -1))
-                    h3 = _p_bmv(Lpl, _proll3(v, 1))
-                    return tuple(h1[a] + h2[a] + h3[a] for a in range(3))
-
-                def tile_partial(v):
-                    """This device's loop-tile H@v partial (no psum)."""
-                    if not tiles_per_dev:
-                        return jnp.zeros((3 * Q, 128), dtype)
-                    v_parts = _hi_lo(_p_tall(v), hvp_splits)
-
-                    def tb(t, acc):
-                        idx = jax.lax.dynamic_slice(
-                            eidx_l, (0, t * 2 * tile), (1, 2 * tile)
-                        )
-                        ohr, qsel, q0i, q0j, rows = tile_sel(t, idx)
-                        vg = tile_gather(
-                            v_parts, ohr, qsel, 3, q0i, q0j, rows
-                        )
-                        vi = tuple(vg[a : a + 1, :tile] for a in range(3))
-                        vj = tuple(vg[a : a + 1, tile:] for a in range(3))
-                        A = tuple(
-                            jax.lax.dynamic_slice(
-                                Aij_store, (a, t * tile), (1, tile)
-                            )
-                            for a in range(9)
-                        )
-                        yi = _m3_vec(A, vj)
-                        yj = _m3_Tvec(A, vi)
-                        ys = jnp.concatenate(
-                            [jnp.concatenate([yi[a], yj[a]], axis=1)
-                             for a in range(3)],
-                            axis=0,
-                        )
-                        return tile_acc(
-                            acc,
-                            _scatter2(ys, ohr, qsel, dtype,
-                                      n_splits=hvp_splits),
-                            3, q0i, q0j,
-                        )
-
-                    return jax.lax.fori_loop(
-                        0, nt_local, tb, jnp.zeros((3 * Q, 128), dtype)
-                    )
-
-                # Prologue (XLA, once per GN iteration): r0 = b, z0, p0,
-                # and H@p0 split into its replicated chain part and the
-                # sharded tile partial + the ONE psum.
-                r3 = tuple(-gq[a] for a in range(3))
-                z3 = _p_pcr_apply(A_steps, G_steps, DinvF, r3)
-                p3 = z3
-                rz0 = sum(jnp.sum(r3[a] * z3[a]) for a in range(3))
-                cap3 = chain_ap(p3)
-                s00 = sum(jnp.sum(p3[a] * cap3[a]) for a in range(3))
-                acc0 = tile_partial(p3)
-                s1p = jnp.sum(_p_tall(p3) * acc0)
-                i0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-                i1 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-                at00 = (i0 == 0) & (i1 == 0)
-                srow = jnp.where(at00, s1p, 0.0).astype(dtype)
-                big = jax.lax.psum(
-                    jnp.concatenate([acc0, srow], axis=0), axis
-                )
-                scal = (
-                    jnp.where(at00, rz0, 0.0)
-                    + jnp.where((i0 == 0) & (i1 == 1), s00, 0.0)
-                ).astype(dtype)
-                cat = lambda t3: jnp.concatenate(t3, axis=0)
-                nt_sm = jnp.reshape(nt_local, (1, 1))
-                carry = (
-                    jnp.zeros((24, L), dtype), cat(r3), cat(p3), cat(cap3),
-                    scal, big,
-                )
-
-                def cg_body_k(_, c):
-                    xx, rr, pp, cc, ss, bb = c
-                    xx, rr, pp, cc, ss, part = cg_step(
-                        xx, rr, pp, cc, ss, bb,
-                        dpl_a, upl_a, lpl_a, afac, gfac, dinv,
-                        eidx_l, Aij_store, nt_sm, q0_l,
-                        K=K, Q=Q, L=L, tile=tile,
-                        tiles_per_dev=tiles_per_dev,
-                        hvp_splits=hvp_splits, win=win, interpret=interpret,
-                    )
-                    return xx, rr, pp, cc, ss, jax.lax.psum(part, axis)
-
-                carry = jax.lax.fori_loop(0, cg_iters, cg_body_k, carry)
-                return _c3(carry[0])
 
             if slab_pcr:
                 # v2: factor + apply + chain H@v on THIS device's lane slab

@@ -151,7 +151,11 @@ def test_dist_fused_cg_kernel_matches_xla_loop():
     same update/preconditioner/matvec math, so the trajectories agree to
     f32 roundoff. Covers the GN path and the masked/truncated-PCR combo."""
     graph, poses0 = _problem()
-    cfg = SolverConfig(cg_max_iterations=12)
+    # pcr_levels capped: the K-level PCR factor inside the interpret-mode
+    # gn_setup kernel compiles superlinearly in K on CPU (27 s at K=3,
+    # minutes at the exact K=9) — quality-irrelevant for this equivalence
+    # check, both paths run the same K.
+    cfg = SolverConfig(cg_max_iterations=12, pcr_levels=3)
     mesh = make_mesh(num_devices=8)
     ref = np.asarray(
         dist_fused_gn_solve(
