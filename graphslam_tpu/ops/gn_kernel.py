@@ -410,14 +410,32 @@ def _p_untall(t, n_comp: int, L: int):
 # ---------------------------------------------------------------------------
 
 
+def _round_bf16(x):
+    """Round f32 to the nearest bf16 VALUE (round-to-nearest-even) via
+    integer bit manipulation, staying in f32.
+
+    NOT equivalent to astype(bf16).astype(f32) under this environment's
+    XLA flags: the TPU relay compiles with --xla_allow_excess_precision,
+    which lets XLA elide the narrowing round-trip — measured on the XLA
+    dist_fused path, where it silently collapsed every hi/lo split into
+    plain bf16 (poses off by 0.147 vs the exact CPU result after ONE
+    CG iteration, bit-identical across hvp_splits — both smoking guns).
+    Bit ops cannot be elided; Mosaic lowers them too (reduce_precision,
+    the dedicated op for this, is not implemented in Pallas TPU)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    bias = jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    v = (u + bias) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(v, jnp.float32)
+
+
 def _hi_lo(x, n_splits: int):
     """Split an f32 array into n bf16 pieces summing (nearly) exactly to x."""
     parts = []
     rem = x
     for _ in range(n_splits - 1):
-        p = rem.astype(jnp.bfloat16)
-        parts.append(p)
-        rem = rem - p.astype(x.dtype)
+        p = _round_bf16(rem)
+        parts.append(p.astype(jnp.bfloat16))
+        rem = rem - p
     parts.append(rem.astype(jnp.bfloat16))
     return parts
 

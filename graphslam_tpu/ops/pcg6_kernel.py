@@ -172,12 +172,16 @@ def _g_pcr_apply(A_steps, G_steps, DinvF, b):
 
 
 def _hi_lo(x, n_splits: int):
+    # bit-level bf16 rounding: proof against --xla_allow_excess_precision
+    # eliding the narrowing round-trip (see gn_kernel._round_bf16)
+    from graphslam_tpu.ops.gn_kernel import _round_bf16
+
     parts = []
     rem = x
     for _ in range(n_splits - 1):
-        p = rem.astype(jnp.bfloat16)
-        parts.append(p)
-        rem = rem - p.astype(x.dtype)
+        p = _round_bf16(rem)
+        parts.append(p.astype(jnp.bfloat16))
+        rem = rem - p
     parts.append(rem.astype(jnp.bfloat16))
     return parts
 

@@ -79,6 +79,7 @@ from graphslam_tpu.ops.gn6_kernel import (
     _tuple_g6,
     _v3_add,
 )
+from graphslam_tpu.parallel.cg_step6 import cg_step6, gn_setup6, stage_a6
 from graphslam_tpu.parallel.dist_fused import (
     _acc_win_add,  # jnp.roll twins
     _embed,
@@ -146,7 +147,7 @@ def _rows_g6p(ref):
 def _make_body(
     *, N, Npad, K, D, iterations, cg_iters, tile, tiles_per_dev,
     huber_delta, hvp_splits, eps, lm, lam0, lam_factor, lam_min, lam_max,
-    axis, win,
+    axis, win, cg_kernel, interpret,
 ):
     L = Npad // 8
     Q = Npad // 128
@@ -239,7 +240,56 @@ def _make_body(
             rp = _g6_vec(pW_c, _se3_log(dp))
             return e + sum(jnp.sum(v * v) for v in rp)
 
+        def _solve_dx_kernels(poses, lam):
+            """Fully-kernelized SE(3) GN inner solve (parallel/cg_step6.py)
+            — the SE(2) module's three-kernel decomposition with
+            6-component state; see dist_fused._solve_dx_kernels."""
+            nt_sm = jnp.reshape(nt_local, (1, 1))
+            w_chain = jnp.reshape((d == 0).astype(dtype), (1, 1))
+            big_part, Aij_k = stage_a6(
+                jnp.concatenate(poses, axis=0), cz, cW, eidx_l, eld_l,
+                nt_sm, w_chain, q0_l,
+                Q=Q, L=L, tile=tile, tiles_per_dev=tiles_per_dev,
+                huber_delta=huber_delta, win=win, interpret=interpret,
+            )
+            big = jax.lax.psum(big_part, axis)
+
+            dpl_a, upl_a, lpl_a, afac, gfac, dinv, b48 = gn_setup6(
+                jnp.reshape(jnp.asarray(lam, dtype), (1, 1)),
+                big, jnp.concatenate(poses, axis=0), pz, pW,
+                N=N, K=K, Q=Q, L=L, eps=eps, interpret=interpret,
+            )
+
+            # First pass = CG prologue (zeroed scalars force
+            # alpha = beta = 0 exactly); cg_iters + 1 passes total.
+            zeros48 = jnp.zeros((48, L), dtype)
+            carry = (
+                zeros48,
+                b48,
+                zeros48,
+                zeros48,
+                jnp.zeros((8, 128), dtype),
+                jnp.zeros((6 * Q + 8, 128), dtype),
+            )
+
+            def cg_body_k(_, c_):
+                xx, rr, pp, cc, ss, bb = c_
+                xx, rr, pp, cc, ss, part = cg_step6(
+                    xx, rr, pp, cc, ss, bb,
+                    dpl_a, upl_a, lpl_a, afac, gfac, dinv,
+                    eidx_l, Aij_k, nt_sm, q0_l,
+                    K=K, Q=Q, L=L, tile=tile,
+                    tiles_per_dev=tiles_per_dev,
+                    hvp_splits=hvp_splits, win=win, interpret=interpret,
+                )
+                return xx, rr, pp, cc, ss, jax.lax.psum(part, axis)
+
+            carry = jax.lax.fori_loop(0, cg_iters + 1, cg_body_k, carry)
+            return _c(carry[0], 6)
+
         def solve_dx(poses, lam):
+            if cg_kernel:
+                return _solve_dx_kernels(poses, lam)
             # --- stage A: per-device chain slab + loop tiles ---------------
             xi_s = _pose_of(tuple(slab(v) for v in poses))
             xj_s = _pose_of(tuple(slab(_proll(v, -1)) for v in poses))
@@ -480,13 +530,13 @@ def _make_body(
     static_argnames=(
         "mesh", "axis", "iterations", "cg_iters", "huber_delta",
         "pcr_levels", "edge_tile", "hvp_splits", "lm",
-        "lam0", "lam_factor", "lam_min", "lam_max",
+        "lam0", "lam_factor", "lam_min", "lam_max", "cg_kernel",
     ),
 )
 def _dist_fused6(
     poses0, graph: FactorGraph, mesh, axis, iterations, cg_iters,
     huber_delta, pcr_levels, edge_tile, hvp_splits, lm,
-    lam0, lam_factor, lam_min, lam_max,
+    lam0, lam_factor, lam_min, lam_max, cg_kernel,
 ):
     N, T = poses0.shape
     if T != 12:
@@ -565,12 +615,18 @@ def _dist_fused6(
         nt = jnp.zeros((1, 1), jnp.int32)
         tiles_eff = 0
 
+    # cg_kernel: None = auto (the fused kernels on real TPU, the XLA loop
+    # on CPU meshes; interpret-mode Mosaic when explicitly requested).
+    if cg_kernel is None:
+        cg_kernel = jax.default_backend() in ("tpu", "axon")
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
     body = _make_body(
         N=N, Npad=Npad, K=K, D=D, iterations=iterations, cg_iters=cg_iters,
         tile=tile, tiles_per_dev=tiles_eff, huber_delta=huber_delta,
         hvp_splits=hvp_splits, eps=3e-4, lm=lm, lam0=lam0,
         lam_factor=lam_factor, lam_min=lam_min, lam_max=lam_max, axis=axis,
-        win=win,
+        win=win, cg_kernel=cg_kernel, interpret=interpret,
     )
     fn = shard_map(
         body,
@@ -593,13 +649,17 @@ def dist_fused6_gn_solve(
     cfg: SolverConfig = SolverConfig(),
     iterations: int = 10,
     axis: str = "dev",
+    cg_kernel: bool | None = None,
 ):
     """`iterations` full SE(3) GN iterations of the fused-kernel math, SPMD
-    over `mesh` — matches fused_gn6_solve's trajectory."""
+    over `mesh` — matches fused_gn6_solve's trajectory. cg_kernel runs
+    the solve through the fused Mosaic kernels (parallel/cg_step6.py);
+    None = auto (on for real TPU)."""
     out, _ = _dist_fused6(
         poses0, graph, mesh, axis, iterations, cfg.cg_max_iterations,
         -1.0, cfg.pcr_levels, cfg.edge_tile, cfg.hvp_splits, False,
         cfg.init_lambda, cfg.lambda_factor, cfg.min_lambda, cfg.max_lambda,
+        cg_kernel,
     )
     return out
 
@@ -611,6 +671,7 @@ def dist_fused6_lm_solve(
     cfg: SolverConfig = SolverConfig(),
     iterations: int = 30,
     axis: str = "dev",
+    cg_kernel: bool | None = None,
 ):
     """Distributed SE(3) LM. Returns (poses, (chi2, lambda, accepted))."""
     out, stats = _dist_fused6(
@@ -618,5 +679,6 @@ def dist_fused6_lm_solve(
         cfg.huber_delta if cfg.use_huber_on_loops else -1.0,
         cfg.pcr_levels, cfg.edge_tile, cfg.hvp_splits, True,
         cfg.init_lambda, cfg.lambda_factor, cfg.min_lambda, cfg.max_lambda,
+        cg_kernel,
     )
     return out, (stats[0], stats[1], stats[2])
